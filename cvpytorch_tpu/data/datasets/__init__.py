@@ -1,0 +1,4 @@
+"""Dataset zoo — importing registers into DATASETS."""
+from . import mini_imagenet  # noqa: F401
+from . import synthetic  # noqa: F401
+from .base import Dataset  # noqa: F401
