@@ -1,4 +1,5 @@
 """Dataset zoo — importing registers into DATASETS."""
 from . import mini_imagenet  # noqa: F401
 from . import synthetic  # noqa: F401
+from . import cityscapes  # noqa: F401
 from .base import Dataset  # noqa: F401

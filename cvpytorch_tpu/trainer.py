@@ -115,13 +115,24 @@ class Trainer:
         )
 
     def _parser_model(self):
-        """(reference: trainer.py:121-131)"""
+        """(reference: trainer.py:121-131).  Lowercase USE_MODEL keys that
+        the model dataclass declares are forwarded as constructor kwargs
+        (e.g. UNet base_channels/depth)."""
+        import dataclasses
+
         model_cls = MODELS.get(self.cfg.USE_MODEL.CLASS)
+        extra = {}
+        if dataclasses.is_dataclass(model_cls):
+            fields = {f.name for f in dataclasses.fields(model_cls)}
+            for k, v in self.cfg.USE_MODEL.items():
+                if k in fields and k not in ("dictionary", "model_cfg"):
+                    extra[k] = tuple(v) if isinstance(v, list) else v
         self.model = model_cls(
             dictionary=tuple(
                 tuple(d.items())[0] and d for d in self.dictionary
             ) if self.dictionary else (),
             model_cfg=self.cfg.USE_MODEL,
+            **extra,
         )
 
     # ------------------------------------------------------------------
