@@ -1,0 +1,99 @@
+"""Headline benchmark: YOLOv5-s 640² training images/sec/chip
+(BASELINE.md driver target).  Prints ONE JSON line.
+
+The reference publishes no speed numbers (BASELINE.json ``published`` is
+empty), so ``vs_baseline`` is the ratio against a fixed reference figure of
+95 img/s/GPU for YOLOv5-s bs32@640 fp16 training — the published
+ultralytics V100 figure commonly used as the PyTorch single-GPU anchor.
+"""
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+PYTORCH_BASELINE_IPS = 95.0  # YOLOv5-s 640 fp16 train, single V100 anchor
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from cvpytorch_tpu.config import CommonConfiguration
+    from cvpytorch_tpu.models.yolov5 import YOLOv5
+    from cvpytorch_tpu.optim.optimizers import build_optimizer
+    from cvpytorch_tpu.optim.schedules import build_lr_scheduler
+    from cvpytorch_tpu.parallel.mesh import create_mesh, shard_batch
+    from cvpytorch_tpu.train_state import create_train_state, make_train_step
+
+    on_tpu = jax.default_backend() == "tpu"
+    B = 32 if on_tpu else 4
+    HW = 640 if on_tpu else 64
+    M = 32
+    steps = 20 if on_tpu else 3
+
+    dictionary = tuple({f"c{i}": 1.0} for i in range(80))
+    cfg = CommonConfiguration({
+        "TYPE": "yolov5_s" if on_tpu else "yolov5_n",
+        "LOSS": {"name": "YOLOv5Loss"},
+    })
+    model = YOLOv5(dictionary=dictionary, model_cfg=cfg)
+
+    rng = np.random.RandomState(0)
+    boxes = np.zeros((B, M, 4), np.float32)
+    nb = 8
+    for i in range(B):
+        xy = rng.rand(nb, 2) * (HW * 0.7)
+        wh = rng.rand(nb, 2) * (HW * 0.25) + 8
+        boxes[i, :nb] = np.concatenate([xy, xy + wh], -1).clip(0, HW - 1)
+    batch = {
+        "image": rng.rand(B, HW, HW, 3).astype(np.float32),
+        "target": {
+            "boxes": boxes,
+            "labels": rng.randint(0, 80, (B, M)).astype(np.int32),
+            "valid": np.arange(M)[None] < nb,
+            "pads": np.zeros((B, 2), np.float32),
+            "scales": np.ones((B, 2), np.float32),
+            "height": np.full((B,), HW, np.int32),
+            "width": np.full((B,), HW, np.int32),
+        },
+    }
+
+    tcfg = CommonConfiguration({
+        "INIT_LR": 0.01, "N_MAX_EPOCHS": 300,
+        "OPTIMIZER": {"TYPE": "SGD", "MOMENTUM": 0.937,
+                      "WEIGHT_PARAMS": {"weight_decay": 5e-4}},
+        "LR_SCHEDULER": {"TYPE": "LambdaLR", "LRF": 0.1},
+    })
+    tx = build_optimizer(tcfg, build_lr_scheduler(tcfg, 100))
+    state = create_train_state(model, tx, jax.random.PRNGKey(0), batch,
+                               use_ema=True)
+    mesh = create_mesh()
+    sb = shard_batch(mesh, batch)
+    train_step = make_train_step(amp=True, ema_decay=0.9999)
+
+    # warmup/compile
+    state, metrics = train_step(state, sb)
+    jax.block_until_ready(metrics["loss"])
+
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        state, metrics = train_step(state, sb)
+    jax.block_until_ready(metrics["loss"])
+    dt = time.perf_counter() - t0
+
+    n_chips = len(jax.devices())
+    ips_per_chip = steps * B / dt / n_chips
+    print(json.dumps({
+        "metric": "yolov5s_640_train_images_per_sec_per_chip" if on_tpu
+        else "yolov5n_64_train_images_per_sec_per_chip(cpu-smoke)",
+        "value": round(ips_per_chip, 2),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(ips_per_chip / PYTORCH_BASELINE_IPS, 3)
+        if on_tpu else 0.0,
+    }))
+
+
+if __name__ == "__main__":
+    main()

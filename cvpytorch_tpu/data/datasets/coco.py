@@ -1,0 +1,105 @@
+"""COCO detection / keypoint / segmentation datasets
+(reference: src/data/datasets/coco.py:35-306, which wraps pycocotools;
+absent here, so annotations are parsed directly from instances_*.json).
+
+Behavior parity:
+* invalid-annotation filtering — images whose anns are all crowd/degenerate
+  are dropped (reference :72-88);
+* category ids remapped to contiguous [0, C) via the dictionary order;
+* ``LOAD_NUM`` probabilistic multi-sample fetch for mosaic
+  (reference :25-33,106-116): with MOSAIC_PROB the item is a list of 4
+  samples for ``RandomAffineWithMosaic``.
+"""
+from __future__ import annotations
+
+import json
+import os
+import random
+
+import cv2
+import numpy as np
+
+from ...registry import DATASETS
+from .base import Dataset
+
+
+@DATASETS.register(name="CocoDetection")
+class CocoDetection(Dataset):
+    def __init__(self, data_cfg=None, dictionary=None, transform=None,
+                 target_transform=None, stage="train"):
+        super().__init__(data_cfg, dictionary, transform, target_transform, stage)
+        self.img_dir = data_cfg.IMG_DIR
+        ann_file = (data_cfg.LABELS.DET_DIR if data_cfg.LABELS else None) or \
+            data_cfg.ANN_FILE
+        self.load_num = int(getattr(data_cfg, "LOAD_NUM", None) or 1)
+        self.mosaic_prob = float(getattr(data_cfg, "MOSAIC_PROB", None) or
+                                 (1.0 if self.load_num > 1 else 0.0))
+
+        with open(ann_file) as f:
+            coco = json.load(f)
+        # category remap: json category_id → contiguous id by dictionary order
+        cats = sorted(coco["categories"], key=lambda c: c["id"])
+        if self.dictionary:
+            name_order = {n: i for i, n in enumerate(self.category)}
+            self.catid2label = {
+                c["id"]: name_order[c["name"]] for c in cats
+                if c["name"] in name_order
+            }
+        else:
+            self.catid2label = {c["id"]: i for i, c in enumerate(cats)}
+
+        anns_by_img: dict[int, list] = {}
+        for a in coco["annotations"]:
+            if a.get("iscrowd", 0):
+                continue
+            x, y, w, h = a["bbox"]
+            if w <= 1 or h <= 1 or a["category_id"] not in self.catid2label:
+                continue
+            anns_by_img.setdefault(a["image_id"], []).append(a)
+
+        self.items = []
+        for img in coco["images"]:
+            anns = anns_by_img.get(img["id"], [])
+            if stage == "train" and not anns:
+                continue  # invalid-image filter (reference :72-88)
+            self.items.append({
+                "id": img["id"],
+                "file_name": img["file_name"],
+                "height": img["height"],
+                "width": img["width"],
+                "anns": anns,
+            })
+        if not self.items:
+            raise RuntimeError(f"no usable images in {ann_file}")
+
+    def __len__(self):
+        return len(self.items)
+
+    def _load_one(self, idx: int) -> dict:
+        item = self.items[idx]
+        img = cv2.imread(os.path.join(self.img_dir, item["file_name"]))
+        if img is None:
+            raise IOError(f"failed to read {item['file_name']}")
+        boxes, labels = [], []
+        for a in item["anns"]:
+            x, y, w, h = a["bbox"]
+            boxes.append([x, y, x + w, y + h])
+            labels.append(self.catid2label[a["category_id"]])
+        target = {
+            "boxes": np.asarray(boxes, np.float32).reshape(-1, 4),
+            "labels": np.asarray(labels, np.int32),
+            "image_id": item["id"],
+            "height": item["height"],
+            "width": item["width"],
+        }
+        return {"image": img,
+                "target": None if self.stage == "infer" else target}
+
+    def __getitem__(self, idx: int):
+        if (self.stage == "train" and self.load_num > 1 and
+                random.random() < self.mosaic_prob):
+            extra = [random.randrange(len(self)) for _ in range(self.load_num - 1)]
+            samples = [self._load_one(i) for i in [idx, *extra]]
+            return self.transform(samples) if self.transform else samples
+        sample = self._load_one(idx)
+        return self.transform(sample) if self.transform else sample

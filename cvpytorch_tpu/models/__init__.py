@@ -3,7 +3,10 @@ from . import backbones  # noqa: F401
 from . import classification  # noqa: F401
 from . import unet  # noqa: F401
 from . import segmentor  # noqa: F401
+from . import yolov5  # noqa: F401
+from . import nanodet_plus  # noqa: F401
 from .heads import seg_heads  # noqa: F401
 from .classification import Classification  # noqa: F401
 from .unet import UNet  # noqa: F401
 from .segmentor import EncoderDecoder  # noqa: F401
+from .yolov5 import YOLOv5  # noqa: F401

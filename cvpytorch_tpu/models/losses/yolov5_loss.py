@@ -1,0 +1,158 @@
+"""YOLOv5 loss — fixed-shape TPU reformulation
+(reference: src/losses/yolov5_loss.py:135-278).
+
+The reference ``build_targets`` boolean-filters a variable number of
+(image, anchor, cell) positives (yolov5_loss.py:225-278) — dynamic shapes
+that can't jit.  Here every (target m, anchor a, offset o) triple is a
+*candidate positive* of static shape (B, M, A, 5) with a validity weight:
+
+  w = target_valid ∧ (max(wh/anchor, anchor/wh) < anchor_t) ∧ offset_valid
+
+Offsets reproduce the reference's cross-grid assignment (center + the two
+nearest neighbour cells, ``off`` table yolov5_loss.py:242-247, g=0.5).
+Predictions at the candidate cells are fetched with one batched gather per
+level; box/cls losses are validity-weighted means, and the objectness
+target grid is built with a scatter-max of the detached CIoU (the reference
+assigns last-write-wins, :196-199; max is its deterministic equivalent).
+
+Per-level obj balance [4.0, 1.0, 0.4] and hyp weights match
+yolov5_loss.py:169-171, 237-240.
+"""
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ...ops.boxes import bbox_iou
+from ...registry import LOSSES
+
+_OFFSETS = jnp.array(
+    [[0.0, 0.0], [0.5, 0.0], [0.0, 0.5], [-0.5, 0.0], [0.0, -0.5]]
+)  # (5, 2): center, j(x−), k(y−), l(x+ inverse), m(y+ inverse)
+
+
+def _build_level_targets(boxes, valid, anchors, nx, ny, anchor_t, max_anchors):
+    """boxes (B,M,4) cxcywh normalized; anchors (A,2) grid units.
+
+    Returns per-candidate arrays of shape (B, P=M*A*5):
+      flat_cell — (gj*nx+gi)*A + a   gather/scatter index
+      txy (B,P,2) target xy offset in cell, twh (B,P,2), aw/ah,
+      w (B,P) validity weight.
+    """
+    B, M, _ = boxes.shape
+    A = anchors.shape[0]
+    scale = jnp.array([nx, ny], jnp.float32)
+    gxy = boxes[..., 0:2] * scale  # (B,M,2)
+    gwh = boxes[..., 2:4] * scale
+
+    r = gwh[:, :, None, :] / anchors[None, None, :, :]  # (B,M,A,2)
+    match = jnp.maximum(r, 1.0 / r).max(-1) < anchor_t  # (B,M,A)
+
+    gx, gy = gxy[..., 0], gxy[..., 1]
+    ix, iy = nx - gx, ny - gy
+    g = 0.5
+    off_ok = jnp.stack([
+        jnp.ones_like(gx, bool),
+        (gx % 1.0 < g) & (gx > 1.0),
+        (gy % 1.0 < g) & (gy > 1.0),
+        (ix % 1.0 < g) & (ix > 1.0),
+        (iy % 1.0 < g) & (iy > 1.0),
+    ], axis=-1)  # (B,M,5)
+
+    w = (valid[:, :, None, None] & match[:, :, :, None] &
+         off_ok[:, :, None, :]).astype(jnp.float32)  # (B,M,A,5)
+
+    gij = jnp.floor(gxy[:, :, None, :] - _OFFSETS[None, None, :, :])  # (B,M,5,2)
+    gi = jnp.clip(gij[..., 0], 0, nx - 1)
+    gj = jnp.clip(gij[..., 1], 0, ny - 1)
+    txy = gxy[:, :, None, :] - jnp.stack([gi, gj], -1)  # (B,M,5,2) ∈ (−0.5,1.5)
+
+    # broadcast to (B,M,A,5,·) then flatten
+    def bx(x, extra=()):  # (B,M,5,…) → (B,M,A,5,…)
+        return jnp.broadcast_to(x[:, :, None], (B, M, A, 5, *extra))
+
+    P = M * A * 5
+    flat_cell = ((gj.astype(jnp.int32) * nx + gi.astype(jnp.int32)))  # (B,M,5)
+    flat_cell = bx(flat_cell) * A + jnp.arange(A)[None, None, :, None]
+    out = dict(
+        flat_cell=flat_cell.reshape(B, P),
+        txy=bx(txy, (2,)).reshape(B, P, 2),
+        twh=jnp.broadcast_to(gwh[:, :, None, None, :], (B, M, A, 5, 2)).reshape(B, P, 2),
+        anchor_wh=jnp.broadcast_to(anchors[None, None, :, None, :],
+                                   (B, M, A, 5, 2)).reshape(B, P, 2),
+        w=w.reshape(B, P),
+    )
+    return out
+
+
+@LOSSES.register(name="YOLOv5Loss")
+class YOLOv5Loss:
+    def __init__(self, num_classes: int, anchors, strides=(8.0, 16.0, 32.0),
+                 hyp_box: float = 0.05, hyp_obj: float = 1.0,
+                 hyp_cls: float = 0.5, anchor_t: float = 4.0,
+                 label_smoothing: float = 0.0, **_):
+        self.num_classes = num_classes
+        self.anchors = jnp.asarray(anchors, jnp.float32)  # (L,A,2) grid units
+        self.strides = tuple(strides)
+        self.hyp_box, self.hyp_obj, self.hyp_cls = hyp_box, hyp_obj, hyp_cls
+        self.anchor_t = anchor_t
+        self.balance = {3: (4.0, 1.0, 0.4)}.get(
+            len(self.anchors), (4.0, 1.0, 0.25, 0.06, 0.02))
+        eps = label_smoothing
+        self.cp, self.cn = 1.0 - 0.5 * eps, 0.5 * eps  # smooth_BCE (ref :57)
+
+    def __call__(self, raw_outs, targets):
+        """raw_outs: list of (B, ny, nx, A, 5+C).
+        targets: {'boxes': (B,M,4) cxcywh normalized, 'labels': (B,M) int,
+                  'valid': (B,M) bool}."""
+        boxes, labels = targets["boxes"], targets["labels"]
+        valid = targets["valid"]
+        B = boxes.shape[0]
+        lbox = lobj = lcls = 0.0
+        for i, pi in enumerate(raw_outs):
+            _, ny, nx, A, no = pi.shape
+            t = _build_level_targets(boxes, valid, self.anchors[i], nx, ny,
+                                     self.anchor_t, A)
+            pi_flat = pi.reshape(B, ny * nx * A, no)
+            ps = jnp.take_along_axis(
+                pi_flat, t["flat_cell"][..., None], axis=1)  # (B,P,no)
+            w = t["w"]
+            n_pos = jnp.maximum(w.sum(), 1.0)
+
+            # box: CIoU in grid units, cxcywh
+            pxy = jax.nn.sigmoid(ps[..., 0:2]) * 2.0 - 0.5
+            pwh = (jax.nn.sigmoid(ps[..., 2:4]) * 2.0) ** 2 * t["anchor_wh"]
+            pbox = jnp.concatenate([pxy, pwh], -1)
+            tbox = jnp.concatenate([t["txy"], t["twh"]], -1)
+            iou = bbox_iou(pbox, tbox, fmt="cxcywh", iou_type="ciou")  # (B,P)
+            lbox = lbox + ((1.0 - iou) * w).sum() / n_pos
+
+            # objectness: scatter-max detached IoU into the cell grid
+            score = jax.lax.stop_gradient(jnp.clip(iou, 0.0)) * w
+            tobj = jax.vmap(
+                lambda idx, s: jnp.zeros(ny * nx * A).at[idx].max(s)
+            )(t["flat_cell"], score)
+            obj_bce = optax.sigmoid_binary_cross_entropy(pi_flat[..., 4], tobj)
+            lobj = lobj + obj_bce.mean() * self.balance[i]
+
+            # classification
+            if self.num_classes > 1:
+                tcls = jnp.where(valid, labels, 0)  # (B,M)
+                # expand labels to candidate layout (B,M,A,5) → (B,P)
+                M = boxes.shape[1]
+                cls_flat = jnp.broadcast_to(
+                    tcls[:, :, None, None], (B, M, A, 5)).reshape(B, -1)
+                onehot = jax.nn.one_hot(cls_flat, self.num_classes) * (self.cp - self.cn) + self.cn
+                cls_bce = optax.sigmoid_binary_cross_entropy(
+                    ps[..., 5:], onehot)  # (B,P,C)
+                lcls = lcls + (cls_bce * w[..., None]).sum() / (
+                    n_pos * self.num_classes)
+
+        lbox = lbox * self.hyp_box
+        lobj = lobj * self.hyp_obj
+        lcls = lcls * self.hyp_cls
+        total = (lbox + lobj + lcls) * B  # reference scales by batch (:240)
+        return total, {"box_loss": lbox, "obj_loss": lobj, "cls_loss": lcls}

@@ -1,0 +1,102 @@
+"""NanoDet-Plus (reference: src/models/nanodet_plus.py:17-120).
+
+ShuffleNetV2 + GhostPAN + GFL head (QFL/DFL/GIoU with DSL assigner),
+universal forward contract.  The reference's detached aux-neck/aux-head
+assignment path (nanodet_plus.py:93-100) is a training aid scheduled for a
+later round; self-assignment (the head's own detached predictions) is the
+reference's post-warmup behavior and is what runs here."""
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..ops.boxes import clip_boxes, unletterbox_boxes
+from ..ops.nms import batched_nms
+from ..registry import MODELS
+from .backbones import build_backbone
+from .heads.nanodet_head import (
+    NanoDetPlusHead,
+    center_priors,
+    decode_nanodet,
+    nanodet_loss,
+)
+from .necks.ghost_pan import GhostPAN
+
+STRIDES = (8, 16, 32, 64)
+
+
+@MODELS.register(name="NanoDetPlus")
+class NanoDetPlus(nn.Module):
+    dictionary: Sequence[Any] = ()
+    model_cfg: Any = None
+    feat_channels: int = 96
+    reg_max: int = 7
+    score_threshold: float = 0.05
+    iou_threshold: float = 0.6
+    max_det: int = 100
+
+    def setup(self):
+        self.num_classes = max(len(self.dictionary), 1)
+        cfg = self.model_cfg or {}
+        get = cfg.get if hasattr(cfg, "get") else (lambda k, d=None: d)
+        bb = get("BACKBONE") or {"name": "ShuffleNetV2",
+                                 "subtype": "shufflenetv2_x1.0",
+                                 "act": "leaky_relu"}
+        self.backbone = build_backbone(dict(bb.items()) if hasattr(bb, "items") else bb)
+        neck_cfg = get("NECK") or {}
+        nget = neck_cfg.get if hasattr(neck_cfg, "get") else (lambda k, d=None: d)
+        self.neck = GhostPAN(
+            out_channels=int(nget("out_channels", self.feat_channels)
+                             or self.feat_channels))
+        self.head = NanoDetPlusHead(
+            num_classes=self.num_classes,
+            feat_channels=self.feat_channels,
+            strides=STRIDES,
+            reg_max=self.reg_max,
+        )
+
+    def _forward(self, images, train: bool):
+        feats = self.backbone(images, train=train)
+        feats = self.neck(feats, train=train)
+        preds = self.head(feats, train=train)
+        h, w = images.shape[1:3]
+        sizes = [(h // s, w // s) for s in STRIDES]
+        priors = center_priors(sizes, STRIDES)
+        return preds, priors
+
+    def _predict(self, preds, priors, images, targets=None):
+        cls_logits, boxes, _ = decode_nanodet(
+            preds, priors, self.num_classes, self.reg_max)
+        scores = jax.nn.sigmoid(cls_logits)
+        best = scores.max(-1)
+        labels = scores.argmax(-1)
+        dets = batched_nms(
+            boxes, best, labels, max_det=self.max_det,
+            iou_threshold=self.iou_threshold,
+            score_threshold=self.score_threshold,
+        )
+        h, w = images.shape[1:3]
+        out_boxes = clip_boxes(dets["boxes"], h, w)
+        if targets is not None and "pads" in targets:
+            out_boxes = unletterbox_boxes(
+                out_boxes, targets["pads"][:, None, :],
+                targets["scales"][:, None, :])
+        return {**dets, "boxes": out_boxes}
+
+    def __call__(self, images, targets=None, mode: str = "infer"):
+        train = mode == "train"
+        preds, priors = self._forward(images, train=train)
+        if mode in ("train", "val"):
+            total, losses = nanodet_loss(
+                preds, priors,
+                {"boxes": targets["boxes"], "labels": targets["labels"],
+                 "valid": targets["valid"]},
+                self.num_classes, self.reg_max)
+            losses = {**losses, "loss": total}
+            if mode == "train":
+                return total, losses
+            return losses, self._predict(preds, priors, images, targets)
+        return self._predict(preds, priors, images, targets)

@@ -96,8 +96,15 @@ class Trainer:
                 transform=transform, stage=stage,
             )
             self.datasets[stage] = ds
+            collate = None
+            if self.dictionary_name in ("DET_CLASSES", "INS_CLASSES"):
+                from .data.transforms.det_transforms import make_det_collate
+
+                collate = make_det_collate(
+                    int(self.cfg.DATASET.MAX_BOXES or 64))
             self.dataloaders[stage] = DataLoader(
                 ds,
+                collate_fn=collate,
                 batch_size=int(stage_cfg.get("BATCH_SIZE", 1)),
                 shuffle=bool(stage_cfg.get("SHUFFLE", stage == "train")),
                 num_workers=int(stage_cfg.get("NUM_WORKER", 4) or 4),
