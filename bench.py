@@ -73,14 +73,17 @@ def main():
     sb = shard_batch(mesh, batch)
     train_step = make_train_step(amp=True, ema_decay=0.9999)
 
-    # warmup/compile
-    state, metrics = train_step(state, sb)
-    jax.block_until_ready(metrics["loss"])
+    # warmup/compile — fence with a VALUE FETCH: on the axon backend
+    # block_until_ready returns before execution finishes, so fetching the
+    # scalar is the only reliable completion barrier
+    for _ in range(3):
+        state, metrics = train_step(state, sb)
+        float(metrics["loss"])
 
     t0 = time.perf_counter()
     for _ in range(steps):
         state, metrics = train_step(state, sb)
-    jax.block_until_ready(metrics["loss"])
+    float(metrics["loss"])
     dt = time.perf_counter() - t0
 
     n_chips = len(jax.devices())
