@@ -5,6 +5,8 @@ from . import unet  # noqa: F401
 from . import segmentor  # noqa: F401
 from . import yolov5  # noqa: F401
 from . import nanodet_plus  # noqa: F401
+from . import fcos  # noqa: F401
+from .necks import fcos_fpn  # noqa: F401
 from .heads import seg_heads  # noqa: F401
 from .classification import Classification  # noqa: F401
 from .unet import UNet  # noqa: F401

@@ -1,0 +1,155 @@
+"""Smaller classification backbones: SqueezeNet, DenseNet, RegNet-lite, ViT
+(reference: src/models/backbones/{squeezenet,densenet,regnet,
+vision_transformer}.py wrapping torchvision; native Flax/NHWC)."""
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ...registry import BACKBONES
+from ..bricks import ConvBNAct
+
+
+class Fire(nn.Module):
+    squeeze: int
+    expand: int
+
+    @nn.compact
+    def __call__(self, x):
+        s = nn.relu(nn.Conv(self.squeeze, (1, 1), name="squeeze")(x))
+        e1 = nn.relu(nn.Conv(self.expand, (1, 1), name="e1")(s))
+        e3 = nn.relu(nn.Conv(self.expand, (3, 3), padding=1, name="e3")(s))
+        return jnp.concatenate([e1, e3], -1)
+
+
+@BACKBONES.register(name="SqueezeNet", aliases=("squeezenet",))
+class SqueezeNet(nn.Module):
+    subtype: str = "squeezenet1_1"
+    out_stages: Sequence[int] = (2, 3, 4)
+    classifier: bool = False
+    num_classes: int = 1000
+    pretrained: bool = False
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = nn.relu(nn.Conv(64, (3, 3), strides=2, name="stem")(x))
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((0, 1), (0, 1)))
+        feats = []
+        x = Fire(16, 64, name="fire2")(x)
+        x = Fire(16, 64, name="fire3")(x)
+        feats.append(x)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((0, 1), (0, 1)))
+        x = Fire(32, 128, name="fire4")(x)
+        x = Fire(32, 128, name="fire5")(x)
+        feats.append(x)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((0, 1), (0, 1)))
+        x = Fire(48, 192, name="fire6")(x)
+        x = Fire(48, 192, name="fire7")(x)
+        x = Fire(64, 256, name="fire8")(x)
+        x = Fire(64, 256, name="fire9")(x)
+        feats.append(x)
+        if self.classifier:
+            x = nn.Dropout(0.5, deterministic=not train)(x)
+            x = nn.relu(nn.Conv(self.num_classes, (1, 1), name="cls_conv")(x))
+            return jnp.mean(x, axis=(1, 2))
+        return tuple(feats)
+
+
+class DenseLayer(nn.Module):
+    growth: int
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        h = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         name="bn1")(x)
+        h = nn.relu(h)
+        h = nn.Conv(4 * self.growth, (1, 1), use_bias=False, name="conv1")(h)
+        h = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         name="bn2")(h)
+        h = nn.relu(h)
+        h = nn.Conv(self.growth, (3, 3), padding=1, use_bias=False,
+                    name="conv2")(h)
+        return jnp.concatenate([x, h], -1)
+
+
+@BACKBONES.register(name="DenseNet", aliases=("densenet",))
+class DenseNet(nn.Module):
+    subtype: str = "densenet121"
+    out_stages: Sequence[int] = (2, 3, 4)
+    classifier: bool = False
+    num_classes: int = 1000
+    pretrained: bool = False
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        cfgs = {"densenet121": (6, 12, 24, 16), "densenet169": (6, 12, 32, 32),
+                "densenet201": (6, 12, 48, 32)}[self.subtype]
+        growth = 32
+        x = ConvBNAct(64, 7, 2, padding=3, act="relu", bn_momentum=0.9,
+                      bn_eps=1e-5, name="stem")(x, train)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+        feats = []
+        for si, n in enumerate(cfgs, start=1):
+            for j in range(n):
+                x = DenseLayer(growth, name=f"dense{si}_{j}")(x, train)
+            if si < len(cfgs):  # transition
+                if si in self.out_stages and not self.classifier:
+                    feats.append(x)
+                x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                                 name=f"trans{si}_bn")(x)
+                x = nn.relu(x)
+                x = nn.Conv(x.shape[-1] // 2, (1, 1), use_bias=False,
+                            name=f"trans{si}_conv")(x)
+                x = nn.avg_pool(x, (2, 2), strides=(2, 2))
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         name="final_bn")(x)
+        x = nn.relu(x)
+        if len(cfgs) in self.out_stages and not self.classifier:
+            feats.append(x)
+        if self.classifier:
+            x = jnp.mean(x, axis=(1, 2))
+            return nn.Dense(self.num_classes, name="fc")(x)
+        return tuple(feats)
+
+
+@BACKBONES.register(name="ViT", aliases=("VisionTransformer", "vit"))
+class ViT(nn.Module):
+    subtype: str = "vit_b_16"
+    classifier: bool = True
+    num_classes: int = 1000
+    out_stages: Sequence[int] = ()
+    dropout: float = 0.0
+    pretrained: bool = False
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        dims = {"vit_t_16": (192, 12, 3), "vit_s_16": (384, 12, 6),
+                "vit_b_16": (768, 12, 12), "vit_l_16": (1024, 24, 16)}
+        dim, depth, heads = dims[self.subtype]
+        p = 16
+        B, H, W, C = x.shape
+        x = nn.Conv(dim, (p, p), strides=p, name="patch_embed")(x)
+        x = x.reshape(B, -1, dim)
+        cls = self.param("cls_token", nn.initializers.zeros, (1, 1, dim))
+        x = jnp.concatenate([jnp.tile(cls, (B, 1, 1)), x], 1)
+        pos = self.param("pos_embed", nn.initializers.normal(0.02),
+                         (1, x.shape[1], dim))
+        x = x + pos
+        x = nn.Dropout(self.dropout, deterministic=not train)(x)
+        for i in range(depth):
+            h = nn.LayerNorm(name=f"ln1_{i}")(x)
+            h = nn.MultiHeadDotProductAttention(
+                num_heads=heads, name=f"attn_{i}")(h)
+            x = x + h
+            h = nn.LayerNorm(name=f"ln2_{i}")(x)
+            h = nn.Dense(dim * 4, name=f"mlp1_{i}")(h)
+            h = nn.gelu(h)
+            h = nn.Dense(dim, name=f"mlp2_{i}")(h)
+            x = x + h
+        x = nn.LayerNorm(name="final_ln")(x)
+        if self.classifier:
+            return nn.Dense(self.num_classes, name="fc")(x[:, 0])
+        return (x[:, 1:],)

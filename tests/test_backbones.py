@@ -50,3 +50,51 @@ def test_cspdarknet_width_depth(rng):
     vars_ = bb.init(rng, x, train=False)
     feats = bb.apply(vars_, x, train=False)
     assert tuple(f.shape[-1] for f in feats) == (64, 128, 256)
+
+
+@pytest.mark.parametrize("cfg,ch_out", [
+    ({"name": "EfficientNet", "subtype": "efficientnet_b0"}, (40, 112, 320)),
+    ({"name": "MobileNetV3", "subtype": "mobilenet_v3_large"}, (40, 112, 160)),
+    ({"name": "MobileNetV3", "subtype": "mobilenet_v3_small"}, (24, 48, 96)),
+    ({"name": "ConvNeXt", "subtype": "convnext_tiny"}, (192, 384, 768)),
+    ({"name": "RepVGG", "subtype": "RepVGG-A0"}, (96, 192, 1280)),
+    ({"name": "SqueezeNet"}, (128, 256, 512)),
+    ({"name": "DenseNet", "subtype": "densenet121"}, (512, 1024, 1024)),
+])
+def test_extra_backbone_features(rng, cfg, ch_out):
+    bb = build_backbone(cfg)
+    x = jnp.zeros((1, 64, 64, 3))
+    vars_ = bb.init({"params": rng, "dropout": rng}, x, train=False)
+    feats = bb.apply(vars_, x, train=False)
+    assert tuple(f.shape[-1] for f in feats) == ch_out, \
+        tuple(f.shape for f in feats)
+
+
+def test_vit_classifier(rng):
+    bb = build_backbone({"name": "ViT", "subtype": "vit_t_16",
+                         "classifier": True, "num_classes": 10})
+    x = jnp.zeros((1, 64, 64, 3))
+    vars_ = bb.init({"params": rng, "dropout": rng}, x, train=False)
+    assert bb.apply(vars_, x, train=False).shape == (1, 10)
+
+
+def test_repvgg_deploy_fuse(rng):
+    """Train-mode 3-branch block == fused single-conv deploy block."""
+    import numpy as np
+    from cvpytorch_tpu.models.backbones.repvgg import (
+        RepVGGBlock, fuse_repvgg_kernel)
+
+    blk = RepVGGBlock(out_channels=8, stride=1)
+    x = jax.random.normal(rng, (1, 8, 8, 8))
+    v = blk.init(rng, x, train=False)
+    y_train = blk.apply(v, x, train=False)
+    k, b = fuse_repvgg_kernel(
+        jax.tree_util.tree_map(np.asarray, v["params"]),
+        jax.tree_util.tree_map(np.asarray, v["batch_stats"]),
+        in_ch=8, out_ch=8, has_identity=True)
+    deploy = RepVGGBlock(out_channels=8, stride=1, deploy=True)
+    vd = deploy.init(rng, x, train=False)
+    vd = {"params": {"reparam": {"kernel": jnp.asarray(k),
+                                 "bias": jnp.asarray(b)}}}
+    y_deploy = deploy.apply(vd, x, train=False)
+    assert np.abs(np.asarray(y_train) - np.asarray(y_deploy)).max() < 1e-4

@@ -90,3 +90,25 @@ def test_unletterbox_gt():
     }
     ev.update(targets, preds)
     assert abs(ev.evaluate()["mAP"] - 1.0) < 1e-6
+
+
+def test_voc_evaluator_golden():
+    from cvpytorch_tpu.evaluator.voc import VOCEvaluator
+
+    ev = VOCEvaluator(num_classes=1)
+    targets = {
+        "boxes": np.array([[[0.0, 0, 10, 10], [20, 20, 30, 30]]]),
+        "labels": np.array([[0, 0]]),
+        "valid": np.array([[True, True]]),
+        "pads": np.zeros((1, 2)), "scales": np.ones((1, 2)),
+    }
+    preds = {
+        "boxes": np.array([[[0.0, 0, 10, 10], [50, 50, 60, 60]]]),
+        "scores": np.array([[0.9, 0.8]]),
+        "labels": np.array([[0, 0]]),
+        "valid": np.array([[True, True]]),
+    }
+    ev.update(targets, preds)
+    m = ev.evaluate()
+    # 1 TP at recall 0.5 precision 1.0, then FP: AP = 0.5
+    assert abs(m["mAP"] - 0.5) < 1e-6
