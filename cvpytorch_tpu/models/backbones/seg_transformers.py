@@ -1,0 +1,218 @@
+"""Segmentation transformer backbones
+(reference: src/models/backbones/seg/mix_transformer.py — SegFormer's MiT
+with spatial-reduction attention; src/models/backbones/seg/mscan.py —
+SegNeXt's multi-scale conv-attention network).
+
+Native Flax/NHWC; attention maps to MXU matmuls, strip convolutions stay
+VPU-friendly depthwise ops."""
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ...registry import BACKBONES
+from ..bricks import DropPath
+
+_MIT_SPECS = {  # dims, depths, heads, sr_ratios
+    "mit_b0": ((32, 64, 160, 256), (2, 2, 2, 2)),
+    "mit_b1": ((64, 128, 320, 512), (2, 2, 2, 2)),
+    "mit_b2": ((64, 128, 320, 512), (3, 4, 6, 3)),
+    "mit_b3": ((64, 128, 320, 512), (3, 4, 18, 3)),
+    "mit_b4": ((64, 128, 320, 512), (3, 8, 27, 3)),
+    "mit_b5": ((64, 128, 320, 512), (3, 6, 40, 3)),
+}
+_MIT_HEADS = (1, 2, 5, 8)
+_MIT_SR = (8, 4, 2, 1)
+
+
+class EfficientAttention(nn.Module):
+    dim: int
+    heads: int
+    sr_ratio: int
+
+    @nn.compact
+    def __call__(self, x, hw):
+        h, w = hw
+        B, N, C = x.shape
+        q = nn.Dense(self.dim, name="q")(x)
+        kv_in = x
+        if self.sr_ratio > 1:
+            sp = x.reshape(B, h, w, C)
+            sp = nn.Conv(self.dim, (self.sr_ratio, self.sr_ratio),
+                         strides=self.sr_ratio, name="sr")(sp)
+            kv_in = nn.LayerNorm(name="sr_norm")(
+                sp.reshape(B, -1, self.dim))
+        k = nn.Dense(self.dim, name="k")(kv_in)
+        v = nn.Dense(self.dim, name="v")(kv_in)
+        hd = self.dim // self.heads
+        q = q.reshape(B, N, self.heads, hd).transpose(0, 2, 1, 3)
+        k = k.reshape(B, -1, self.heads, hd).transpose(0, 2, 1, 3)
+        v = v.reshape(B, -1, self.heads, hd).transpose(0, 2, 1, 3)
+        attn = jax.nn.softmax(
+            jnp.einsum("bhnd,bhmd->bhnm", q, k,
+                       preferred_element_type=jnp.float32) / jnp.sqrt(hd), -1)
+        out = jnp.einsum("bhnm,bhmd->bhnd", attn.astype(v.dtype), v)
+        out = out.transpose(0, 2, 1, 3).reshape(B, N, self.dim)
+        return nn.Dense(self.dim, name="proj")(out)
+
+
+class MixFFN(nn.Module):
+    dim: int
+    expand: int = 4
+
+    @nn.compact
+    def __call__(self, x, hw):
+        h, w = hw
+        B, N, C = x.shape
+        hdim = self.dim * self.expand
+        y = nn.Dense(hdim, name="fc1")(x)
+        sp = y.reshape(B, h, w, hdim)
+        sp = nn.Conv(hdim, (3, 3), padding=1, feature_group_count=hdim,
+                     name="dwconv")(sp)
+        y = nn.gelu(sp.reshape(B, N, hdim))
+        return nn.Dense(self.dim, name="fc2")(y)
+
+
+@BACKBONES.register(name="MixVisionTransformer", aliases=("mit",))
+class MixVisionTransformer(nn.Module):
+    subtype: str = "mit_b0"
+    out_stages: Sequence[int] = (1, 2, 3, 4)
+    classifier: bool = False
+    num_classes: int = 1000
+    drop_path_rate: float = 0.1
+    pretrained: bool = False
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        dims, depths = _MIT_SPECS[self.subtype]
+        total = sum(depths)
+        bi = 0
+        feats = []
+        for si in range(4):
+            patch = 7 if si == 0 else 3
+            stride = 4 if si == 0 else 2
+            x = nn.Conv(dims[si], (patch, patch), strides=stride,
+                        padding=patch // 2, name=f"patch{si}")(x)
+            B, h, w, C = x.shape
+            t = nn.LayerNorm(name=f"patch_norm{si}")(x.reshape(B, h * w, C))
+            for j in range(depths[si]):
+                dp = self.drop_path_rate * bi / max(total - 1, 1)
+                a = EfficientAttention(dims[si], _MIT_HEADS[si], _MIT_SR[si],
+                                       name=f"attn{si}_{j}")(
+                    nn.LayerNorm(name=f"ln1_{si}_{j}")(t), (h, w))
+                t = t + DropPath(dp, name=f"dp1_{si}_{j}")(a, train)
+                f = MixFFN(dims[si], name=f"ffn{si}_{j}")(
+                    nn.LayerNorm(name=f"ln2_{si}_{j}")(t), (h, w))
+                t = t + DropPath(dp, name=f"dp2_{si}_{j}")(f, train)
+                bi += 1
+            t = nn.LayerNorm(name=f"out_norm{si}")(t)
+            x = t.reshape(B, h, w, dims[si])
+            if (si + 1) in self.out_stages and not self.classifier:
+                feats.append(x)
+        if self.classifier:
+            return nn.Dense(self.num_classes, name="fc")(
+                jnp.mean(x, axis=(1, 2)))
+        return tuple(feats)
+
+
+# ---------------------------------------------------------------- MSCAN --
+_MSCAN_SPECS = {
+    "mscan_t": ((32, 64, 160, 256), (3, 3, 5, 2)),
+    "mscan_s": ((64, 128, 320, 512), (2, 2, 4, 2)),
+    "mscan_b": ((64, 128, 320, 512), (3, 3, 12, 3)),
+    "mscan_l": ((64, 128, 320, 512), (3, 5, 27, 3)),
+}
+
+
+class MSCAttention(nn.Module):
+    """Multi-scale strip-conv attention (SegNeXt)."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self, x):
+        u = x
+        a = nn.Conv(self.dim, (5, 5), padding=2, feature_group_count=self.dim,
+                    name="conv5")(x)
+        for i, k in enumerate((7, 11, 21)):
+            b = nn.Conv(self.dim, (1, k), padding=((0, 0), (k // 2, k // 2)),
+                        feature_group_count=self.dim, name=f"h{i}")(a)
+            b = nn.Conv(self.dim, (k, 1), padding=((k // 2, k // 2), (0, 0)),
+                        feature_group_count=self.dim, name=f"v{i}")(b)
+            a = a + b
+        a = nn.Conv(self.dim, (1, 1), name="mix")(a)
+        return u * a
+
+
+class MSCANBlock(nn.Module):
+    dim: int
+    drop_rate: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        h = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         name="bn1")(x)
+        h = nn.Conv(self.dim, (1, 1), name="proj1")(h)
+        h = nn.gelu(h)
+        h = MSCAttention(self.dim, name="attn")(h)
+        h = nn.Conv(self.dim, (1, 1), name="proj2")(h)
+        ls1 = self.param("ls1", nn.initializers.constant(1e-2), (self.dim,))
+        x = x + DropPath(self.drop_rate, name="dp1")(h * ls1, train)
+        h = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         name="bn2")(x)
+        hdim = self.dim * 4
+        h = nn.Conv(hdim, (1, 1), name="ffn1")(h)
+        h = nn.Conv(hdim, (3, 3), padding=1, feature_group_count=hdim,
+                    name="ffn_dw")(h)
+        h = nn.gelu(h)
+        h = nn.Conv(self.dim, (1, 1), name="ffn2")(h)
+        ls2 = self.param("ls2", nn.initializers.constant(1e-2), (self.dim,))
+        return x + DropPath(self.drop_rate, name="dp2")(h * ls2, train)
+
+
+@BACKBONES.register(name="MSCAN", aliases=("mscan",))
+class MSCAN(nn.Module):
+    subtype: str = "mscan_t"
+    out_stages: Sequence[int] = (2, 3, 4)
+    classifier: bool = False
+    num_classes: int = 1000
+    drop_path_rate: float = 0.1
+    pretrained: bool = False
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        dims, depths = _MSCAN_SPECS[self.subtype]
+        total = sum(depths)
+        bi = 0
+        feats = []
+        for si in range(4):
+            if si == 0:
+                x = nn.Conv(dims[0] // 2, (3, 3), strides=2, padding=1,
+                            name="stem1")(x)
+                x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                                 name="stem_bn1")(x)
+                x = nn.gelu(x)
+                x = nn.Conv(dims[0], (3, 3), strides=2, padding=1,
+                            name="stem2")(x)
+                x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                                 name="stem_bn2")(x)
+            else:
+                x = nn.Conv(dims[si], (3, 3), strides=2, padding=1,
+                            name=f"down{si}")(x)
+                x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                                 name=f"down_bn{si}")(x)
+            for j in range(depths[si]):
+                x = MSCANBlock(
+                    dims[si],
+                    drop_rate=self.drop_path_rate * bi / max(total - 1, 1),
+                    name=f"stage{si+1}_block{j}")(x, train)
+                bi += 1
+            if (si + 1) in self.out_stages and not self.classifier:
+                feats.append(x)
+        if self.classifier:
+            return nn.Dense(self.num_classes, name="fc")(
+                jnp.mean(x, axis=(1, 2)))
+        return tuple(feats)
