@@ -1,0 +1,101 @@
+"""ROIAlign — TPU-native replacement for torchvision's C++/CUDA
+``MultiScaleRoIAlign`` (reference: faster_rcnn.py:54, maskrcnn.py:32;
+SURVEY §2.9 row 2).
+
+Implementation: bilinear 4-tap gather at the standard ROIAlign sampling
+grid (2×2 samples per output bin, averaged), fully vectorized — XLA lowers
+it to gathers; a Pallas kernel variant lives in ops/pallas/.  Multi-scale
+(FPN) assignment follows the torchvision heuristic
+k = floor(4 + log2(sqrt(area)/224)) clamped to available levels.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+def roi_align(features, boxes, output_size: int = 7,
+              spatial_scale: float = 1.0, sampling_ratio: int = 2,
+              aligned: bool = True):
+    """features (H, W, C); boxes (N, 4) xyxy in image pixels.
+    Returns (N, output_size, output_size, C)."""
+    H, W, C = features.shape
+    off = 0.5 if aligned else 0.0
+    b = boxes * spatial_scale
+    x1, y1, x2, y2 = b[:, 0] - off, b[:, 1] - off, b[:, 2] - off, b[:, 3] - off
+    bw = jnp.maximum(x2 - x1, 1e-6)
+    bh = jnp.maximum(y2 - y1, 1e-6)
+    n = sampling_ratio
+    # sample grid: output_size bins × n samples per bin per axis
+    gy = (jnp.arange(output_size * n) + 0.5) / n  # in bin units
+    gx = gy
+    ys = y1[:, None] + bh[:, None] * gy[None, :] / output_size  # (N, S)
+    xs = x1[:, None] + bw[:, None] * gx[None, :] / output_size
+
+    def bilinear(img, ys, xs):
+        y0 = jnp.floor(ys)
+        x0 = jnp.floor(xs)
+        fy = ys - y0
+        fx = xs - x0
+
+        def tap(yy, xx):
+            inb = (yy >= 0) & (yy < H) & (xx >= 0) & (xx < W)
+            yi = jnp.clip(yy, 0, H - 1).astype(jnp.int32)
+            xi = jnp.clip(xx, 0, W - 1).astype(jnp.int32)
+            v = img[yi[:, None], xi[None, :]]  # (S, S, C)
+            m = (inb[:, None] & inb[None, :])[..., None]
+            return jnp.where(m, v, 0.0)
+
+        v00 = tap(y0, x0)
+        v01 = tap(y0, x0 + 1)
+        v10 = tap(y0 + 1, x0)
+        v11 = tap(y0 + 1, x0 + 1)
+        wy = fy[:, None, None]
+        wx = fx[None, :, None]
+        return (v00 * (1 - wy) * (1 - wx) + v01 * (1 - wy) * wx +
+                v10 * wy * (1 - wx) + v11 * wy * wx)
+
+    def one_roi(ys_i, xs_i):
+        sampled = bilinear(features, ys_i, xs_i)  # (S, S, C)
+        S = output_size
+        return sampled.reshape(S, n, S, n, C).mean((1, 3))
+
+    return jax.vmap(one_roi)(ys, xs)
+
+
+def batched_roi_align(features, boxes, box_batch_idx, output_size: int = 7,
+                      spatial_scale: float = 1.0, sampling_ratio: int = 2):
+    """features (B, H, W, C); boxes (N, 4); box_batch_idx (N,) image index.
+    Gathers each ROI's source image then aligns."""
+    per_box_feats = features[box_batch_idx]  # (N, H, W, C)
+
+    def one(img, box):
+        return roi_align(img, box[None], output_size, spatial_scale,
+                         sampling_ratio)[0]
+
+    return jax.vmap(one)(per_box_feats, boxes)
+
+
+def multiscale_roi_align(fpn_feats, strides, boxes, box_batch_idx,
+                         output_size: int = 7, canonical_level: int = 4,
+                         canonical_size: float = 224.0, min_level: int = 2):
+    """FPN level assignment (torchvision heuristic) + per-level ROIAlign.
+
+    fpn_feats: list of (B, Hi, Wi, C); strides parallel list.
+    Fixed-shape: every ROI is aligned on EVERY level, then the right level
+    is selected with a one-hot mask — levels are few (4), so this costs 4×
+    the gathers but keeps the graph static (SURVEY §7.3 padding doctrine).
+    """
+    areas = jnp.clip((boxes[:, 2] - boxes[:, 0]) *
+                     (boxes[:, 3] - boxes[:, 1]), 1e-6)
+    k = jnp.floor(canonical_level +
+                  jnp.log2(jnp.sqrt(areas) / canonical_size))
+    k = jnp.clip(k - min_level, 0, len(fpn_feats) - 1).astype(jnp.int32)
+    outs = []
+    for li, (feat, stride) in enumerate(zip(fpn_feats, strides)):
+        aligned = batched_roi_align(feat, boxes, box_batch_idx, output_size,
+                                    1.0 / stride)
+        outs.append(jnp.where((k == li)[:, None, None, None], aligned, 0.0))
+    return sum(outs)

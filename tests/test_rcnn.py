@@ -1,0 +1,88 @@
+"""ROIAlign numerics + Mask R-CNN contract."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cvpytorch_tpu.config import CommonConfiguration
+from cvpytorch_tpu.models.rcnn import (
+    MaskRCNN,
+    decode_deltas,
+    encode_deltas,
+    make_anchors,
+)
+from cvpytorch_tpu.ops.roi_align import multiscale_roi_align, roi_align
+
+
+def test_roi_align_constant_region():
+    # constant-valued feature map → aligned output equals the constant
+    f = jnp.full((16, 16, 3), 7.0)
+    out = roi_align(f, jnp.array([[2.0, 2, 10, 10]]), output_size=4)
+    assert out.shape == (1, 4, 4, 3)
+    assert np.allclose(np.asarray(out), 7.0, atol=1e-5)
+
+
+def test_roi_align_gradient_region():
+    # linear ramp in x: bin centers should reproduce the ramp
+    xs = jnp.tile(jnp.arange(16.0)[None, :, None], (16, 1, 1))
+    out = roi_align(xs, jnp.array([[0.0, 0, 16, 16]]), output_size=4,
+                    aligned=True)
+    centers = np.asarray(out[0, 0, :, 0])
+    # bins centered at 2,6,10,14 → x-coord − 0.5 alignment ≈ 1.5,5.5,9.5,13.5
+    assert np.allclose(centers, [1.5, 5.5, 9.5, 13.5], atol=0.1), centers
+
+
+def test_encode_decode_roundtrip():
+    anchors = jnp.array([[10.0, 10, 50, 50], [0, 0, 20, 40]])
+    boxes = jnp.array([[12.0, 8, 60, 44], [2, 2, 18, 38]])
+    rec = decode_deltas(encode_deltas(boxes, anchors), anchors)
+    assert np.allclose(np.asarray(rec), np.asarray(boxes), atol=1e-4)
+
+
+def test_make_anchors_counts():
+    a = make_anchors([(8, 8), (4, 4), (2, 2), (1, 1), (1, 1)])
+    assert a.shape == ((64 + 16 + 4 + 1 + 1) * 3, 4)
+    # first level anchors centered at (2, 2) with size 32
+    assert abs(float(a[1, 2] - a[1, 0]) - 32.0) < 1e-3  # aspect 1.0
+
+
+def test_multiscale_roi_align_level_select():
+    feats = [jnp.full((1, 32 // s * 8, 32 // s * 8, 2), float(i + 1))
+             for i, s in enumerate((4, 8, 16, 32))]
+    # small box → level 0 (value 1); 224px box → level 2 (value 3)
+    boxes = jnp.array([[0.0, 0, 32, 32], [0, 0, 224, 224]])
+    idx = jnp.zeros(2, jnp.int32)
+    out = multiscale_roi_align(feats, (4, 8, 16, 32), boxes, idx,
+                               output_size=2)
+    assert np.allclose(np.asarray(out[0]), 1.0)
+    assert np.allclose(np.asarray(out[1]), 3.0)
+
+
+def test_maskrcnn_contract(rng):
+    model = MaskRCNN(
+        dictionary=({"a": 1}, {"b": 1}),
+        model_cfg=CommonConfiguration(
+            {"BACKBONE": {"name": "ResNet", "subtype": "resnet18",
+                          "out_stages": [1, 2, 3, 4]}}),
+        num_proposals=32, pre_nms_topk=128, with_mask=True)
+    imgs = jax.random.normal(rng, (1, 64, 64, 3))
+    M, mh = 4, 28
+    masks = np.zeros((1, M, mh, mh), np.float32)
+    masks[0, 0, 5:20, 5:20] = 1.0
+    tgts = {"boxes": jnp.array([[[8.0, 8, 40, 40]] + [[0, 0, 0, 0]] * 3]),
+            "labels": jnp.zeros((1, M), jnp.int32),
+            "valid": jnp.array([[True, False, False, False]]),
+            "masks": jnp.asarray(masks),
+            "pads": jnp.zeros((1, 2)), "scales": jnp.ones((1, 2))}
+    v = model.init({"params": rng, "dropout": rng}, imgs, tgts, mode="train")
+    (total, ld), _ = model.apply(v, imgs, tgts, mode="train",
+                                 mutable=["batch_stats"])
+    assert np.isfinite(float(total))
+    assert {"rpn_obj_loss", "rpn_reg_loss", "cls_loss", "box_loss",
+            "mask_loss"} <= set(ld)
+    g = jax.grad(lambda p: model.apply(
+        {"params": p, "batch_stats": v["batch_stats"]}, imgs, tgts,
+        mode="train", mutable=["batch_stats"])[0][0])(v["params"])
+    gn = sum(float(jnp.abs(x).sum()) for x in jax.tree_util.tree_leaves(g))
+    assert np.isfinite(gn) and gn > 0
+    _, preds = model.apply(v, imgs, tgts, mode="val")
+    assert preds["boxes"].shape == (1, 100, 4)
