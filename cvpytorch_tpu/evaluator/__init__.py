@@ -19,4 +19,6 @@ def build_evaluator(cfg, dataset=None):
         from . import coco  # noqa: F401
     if name == "voc_detection":
         from . import voc  # noqa: F401
+    if name == "keypoint":
+        from . import keypoint  # noqa: F401
     return EVALUATORS.get(name)(dataset=dataset, **kwargs)

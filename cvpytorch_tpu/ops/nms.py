@@ -46,8 +46,15 @@ def nms_keep_mask(boxes, scores, iou_threshold: float):
     return keep_sorted, order
 
 
+def _use_pallas_default() -> bool:
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:  # pragma: no cover
+        return False
+
+
 @partial(jax.jit, static_argnames=("max_det", "iou_threshold", "score_threshold",
-                                  "max_nms", "class_aware"))
+                                  "max_nms", "class_aware", "use_pallas"))
 def batched_nms(
     boxes,
     scores,
@@ -57,6 +64,7 @@ def batched_nms(
     score_threshold: float = 0.001,
     max_nms: int = 1024,
     class_aware: bool = True,
+    use_pallas: bool | None = None,
 ):
     """Batched padded NMS.
 
@@ -69,20 +77,27 @@ def batched_nms(
     """
     B, N = scores.shape
     k = min(max_nms, N)
+    pallas = _use_pallas_default() if use_pallas is None else use_pallas
 
     def per_image(bx, sc, lb):
         sc = jnp.where(sc >= score_threshold, sc, 0.0)
-        top_sc, top_idx = jax.lax.top_k(sc, k)
+        top_sc, top_idx = jax.lax.top_k(sc, k)  # score-desc order
         top_bx = bx[top_idx]
         top_lb = lb[top_idx]
         shift = (top_lb.astype(jnp.float32) * MAX_WH)[:, None] if class_aware \
             else jnp.zeros((k, 1), jnp.float32)
-        keep_sorted, order = nms_keep_mask(top_bx + shift, top_sc, iou_threshold)
-        # gather back in score order (order is already score-desc since
-        # top_k returns sorted scores, but keep explicit for safety)
-        sorted_bx = top_bx[order]
-        sorted_sc = top_sc[order]
-        sorted_lb = top_lb[order]
+        if pallas:
+            from .pallas.nms_kernel import pallas_nms_keep
+
+            # top_k output is already sorted — feed the kernel directly
+            keep_sorted = pallas_nms_keep(top_bx + shift, iou_threshold)
+            sorted_bx, sorted_sc, sorted_lb = top_bx, top_sc, top_lb
+        else:
+            keep_sorted, order = nms_keep_mask(top_bx + shift, top_sc,
+                                               iou_threshold)
+            sorted_bx = top_bx[order]
+            sorted_sc = top_sc[order]
+            sorted_lb = top_lb[order]
         final_sc = jnp.where(keep_sorted & (sorted_sc > 0), sorted_sc, -1.0)
         if max_det > k:  # pad candidate set so top_k(max_det) is valid
             pad = max_det - k

@@ -1,0 +1,75 @@
+"""Keypoint pipeline: heatmap render/decode round-trip, pose models, PCK."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cvpytorch_tpu.evaluator.keypoint import KeypointEvaluator
+from cvpytorch_tpu.models.keypoint import (
+    OpenPose,
+    SimplePose,
+    decode_heatmaps,
+    render_gaussian_heatmaps,
+)
+
+
+def test_heatmap_render_decode_roundtrip():
+    kps = jnp.array([[[5.0, 9.0], [20.0, 3.0]]])
+    valid = jnp.array([[True, True]])
+    hm = render_gaussian_heatmaps(kps, valid, (32, 32), sigma=1.5)
+    assert hm.shape == (1, 32, 32, 2)
+    dec = np.asarray(decode_heatmaps(hm))
+    assert np.allclose(dec[0, :, :2], np.asarray(kps[0]), atol=0.5)
+    assert (dec[0, :, 2] > 0.9).all()
+
+
+def test_invalid_keypoints_zero_heatmap():
+    kps = jnp.array([[[5.0, 9.0]]])
+    hm = render_gaussian_heatmaps(kps, jnp.array([[False]]), (16, 16))
+    assert float(jnp.abs(hm).max()) == 0.0
+
+
+def test_simplepose_contract(rng):
+    model = SimplePose(num_keypoints=4)
+    imgs = jax.random.normal(rng, (1, 64, 64, 3))
+    # ResNet stride 32 + 3 deconvs → heatmaps at stride 4 (16x16 for 64px)
+    hm_t = render_gaussian_heatmaps(
+        jnp.array([[[4.0, 4], [8, 8], [12, 12], [15, 15]]]),
+        jnp.ones((1, 4), bool), (16, 16))
+    tgts = {"heatmaps": hm_t, "valid": jnp.ones((1, 4), bool)}
+    v = model.init({"params": rng, "dropout": rng}, imgs, tgts, mode="train")
+    (loss, ld), _ = model.apply(v, imgs, tgts, mode="train",
+                                mutable=["batch_stats"])
+    assert np.isfinite(float(loss))
+    preds = model.apply(v, imgs, mode="infer")
+    assert preds.shape == (1, 4, 3)
+
+
+def test_openpose_contract(rng):
+    model = OpenPose(num_keypoints=4, num_limbs=3, num_stages=2,
+                     model_cfg=None)
+    imgs = jax.random.normal(rng, (1, 64, 64, 3))
+    tgts = {
+        "heatmaps": jnp.zeros((1, 8, 8, 5)),
+        "pafs": jnp.zeros((1, 8, 8, 6)),
+        "mask": jnp.ones((1, 8, 8)),
+    }
+    v = model.init({"params": rng, "dropout": rng}, imgs, tgts, mode="train")
+    (loss, ld), _ = model.apply(v, imgs, tgts, mode="train",
+                                mutable=["batch_stats"])
+    assert np.isfinite(float(loss))
+    assert {"heatmap_loss", "paf_loss"} <= set(ld)
+    out = model.apply(v, imgs, mode="infer")
+    assert out["heatmaps"].shape == (1, 8, 8, 5)
+    assert out["pafs"].shape == (1, 8, 8, 6)
+
+
+def test_pck_evaluator():
+    ev = KeypointEvaluator(num_keypoints=2, pck_threshold=0.5)
+    targets = {"keypoints": np.array([[[10.0, 10], [20, 20]]]),
+               "valid": np.array([[True, True]]),
+               "bbox_size": np.array([10.0])}
+    preds = np.array([[[11.0, 10, 0.9], [40, 40, 0.8]]])  # 1 close, 1 far
+    ev.update(targets, preds)
+    m = ev.evaluate()
+    assert abs(m["PCK"] - 0.5) < 1e-6
+    assert 0 <= m["OKS_AP"] <= 1
