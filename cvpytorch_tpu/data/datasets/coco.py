@@ -103,3 +103,69 @@ class CocoDetection(Dataset):
             return self.transform(samples) if self.transform else samples
         sample = self._load_one(idx)
         return self.transform(sample) if self.transform else sample
+
+
+def _rasterize_polygons(segm, height, width, out_size: int = 112):
+    """COCO polygon(s) → binary mask at out_size (pycocotools-free;
+    reference uses pycocotools RLE, coco.py:15, det_transforms.py:1580)."""
+    mask = np.zeros((height, width), np.uint8)
+    if isinstance(segm, list):  # polygons
+        for poly in segm:
+            pts = np.asarray(poly, np.float64).reshape(-1, 2)
+            cv2.fillPoly(mask, [pts.astype(np.int32)], 1)
+    elif isinstance(segm, dict) and "counts" in segm:
+        # uncompressed RLE
+        if isinstance(segm["counts"], list):
+            rle = np.asarray(segm["counts"], np.int64)
+            flat = np.zeros(height * width, np.uint8)
+            pos, val = 0, 0
+            for run in rle:
+                if val:
+                    flat[pos:pos + run] = 1
+                pos += run
+                val ^= 1
+            mask = flat.reshape(width, height).T  # column-major
+    return cv2.resize(mask, (out_size, out_size),
+                      interpolation=cv2.INTER_NEAREST).astype(np.float32)
+
+
+@DATASETS.register(name="CocoSegmentation")
+class CocoSegmentation(CocoDetection):
+    """Instance segmentation: detection targets + per-instance masks
+    rasterized at MASK_SIZE (reference: coco.py:252)."""
+
+    MASK_SIZE = 112
+
+    def _load_one(self, idx: int) -> dict:
+        sample = super()._load_one(idx)
+        item = self.items[idx]
+        if sample["target"] is not None:
+            masks = [
+                _rasterize_polygons(a.get("segmentation", []),
+                                    item["height"], item["width"],
+                                    self.MASK_SIZE)
+                for a in item["anns"]
+            ]
+            sample["target"]["masks"] = (
+                np.stack(masks) if masks
+                else np.zeros((0, self.MASK_SIZE, self.MASK_SIZE), np.float32))
+        return sample
+
+
+@DATASETS.register(name="CocoKeypoint")
+class CocoKeypoint(CocoDetection):
+    """Keypoint task: person boxes + 17 COCO keypoints
+    (reference: coco.py:186)."""
+
+    def _load_one(self, idx: int) -> dict:
+        sample = super()._load_one(idx)
+        item = self.items[idx]
+        if sample["target"] is not None:
+            kps = []
+            for a in item["anns"]:
+                k = np.asarray(a.get("keypoints", [0] * 51),
+                               np.float32).reshape(-1, 3)
+                kps.append(k)
+            sample["target"]["keypoints"] = (
+                np.stack(kps) if kps else np.zeros((0, 17, 3), np.float32))
+        return sample
