@@ -35,7 +35,9 @@ def _build_head(cfg: dict, num_classes: int):
     return cls(**kwargs)
 
 
-@MODELS.register(name="EncoderDecoder", aliases=("SegNeXt",))
+@MODELS.register(name="EncoderDecoder", aliases=(
+    "SegNeXt", "PSPNet", "Deeplabv3", "Deeplabv3Plus", "SegFormer",
+    "UPerNet", "SFNet", "TopFormer", "RegSeg"))
 class EncoderDecoder(nn.Module):
     dictionary: Sequence[Any] = ()
     model_cfg: Any = None

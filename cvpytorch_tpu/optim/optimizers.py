@@ -94,11 +94,28 @@ def ranger(lr, betas=(0.95, 0.999), eps=1e-5, **_):
     )
 
 
+def _path_starts_with(path: tuple, prefix: str) -> bool:
+    key = getattr(path[0], "key", getattr(path[0], "name", None)) if path else None
+    return key == prefix
+
+
+def freeze_mask(params, patterns):
+    """True = frozen.  Substring match on the joined param path
+    (reference: src/utils/freeze.py:8 freeze_models)."""
+    def label(path, leaf):
+        name = "/".join(str(getattr(p, "key", getattr(p, "name", ""))) for p in path)
+        return any(pat in name for pat in patterns)
+
+    return jax.tree_util.tree_map_with_path(label, params)
+
+
 def build_optimizer(cfg, lr_schedule) -> optax.GradientTransformation:
     """Build the full gradient transformation from a trainer config.
 
     Consumes OPTIMIZER.{TYPE,MOMENTUM,WEIGHT_DECAY(=WEIGHT_PARAMS.weight_decay),
-    BIAS_LR_MULTIPLIER}, GRAD_CLIP.{TYPE,VALUE}, ACCUMULATE_STEPS
+    BIAS_LR_MULTIPLIER}, GRAD_CLIP.{TYPE,VALUE}, ACCUMULATE_STEPS,
+    BACKBONE_LR (separate backbone learning rate, reference trainer cfg),
+    FREEZE_PATTERNS (substring param freeze, reference freeze.py:8)
     (reference: trainer.py:133-143,195; optimizers/__init__.py:21-56).
     """
     opt_cfg = cfg.OPTIMIZER or {}
@@ -142,15 +159,41 @@ def build_optimizer(cfg, lr_schedule) -> optax.GradientTransformation:
             )
         )
 
-    if bias_mult != 1.0:
-        core = optax.multi_transform(
-            {"bias": make_core(bias_mult), "norm": make_core(1.0),
-             "weight": make_core(1.0)},
-            param_labels,
-        )
+    backbone_lr = cfg.BACKBONE_LR
+    base_lr = float(cfg.INIT_LR or 0.01)
+    bb_scale = (float(backbone_lr) / base_lr) if backbone_lr else 1.0
+
+    if bias_mult != 1.0 or bb_scale != 1.0:
+        def labels_fn(params):
+            def label(path, leaf):
+                name = "/".join(
+                    str(getattr(p, "key", getattr(p, "name", "")))
+                    for p in path)
+                base = _leaf_label(path, leaf)
+                if bb_scale != 1.0 and name.startswith("backbone"):
+                    return "backbone_" + base
+                return base
+
+            return jax.tree_util.tree_map_with_path(label, params)
+
+        transforms = {"bias": make_core(bias_mult), "norm": make_core(1.0),
+                      "weight": make_core(1.0)}
+        if bb_scale != 1.0:
+            transforms.update({
+                "backbone_bias": make_core(bias_mult * bb_scale),
+                "backbone_norm": make_core(bb_scale),
+                "backbone_weight": make_core(bb_scale),
+            })
+        core = optax.multi_transform(transforms, labels_fn)
     else:
         core = make_core(1.0)
     chain.append(core)
+
+    patterns = cfg.FREEZE_PATTERNS
+    if patterns:
+        chain.append(optax.masked(
+            optax.set_to_zero(),
+            lambda params: freeze_mask(params, list(patterns))))
 
     tx = optax.chain(*chain)
     accum = int(cfg.ACCUMULATE_STEPS or 1)

@@ -122,3 +122,27 @@ def test_bias_lr_multiplier_and_decay_mask(rng):
     # compare against a 1-D norm-labeled leaf (bn scale) which gets 1x lr
     scale_u = float(jnp.abs(updates["bn"]["scale"]).mean())
     assert bias_u > 1.5 * scale_u
+
+
+def test_backbone_lr_and_freeze(rng):
+    """BACKBONE_LR scales backbone updates; FREEZE_PATTERNS zero them."""
+    cfg = _make_cfg()
+    cfg.update({"BACKBONE_LR": 0.01, "INIT_LR": 0.1})
+    tx = build_optimizer(cfg, lambda s: 0.1)
+    # fake param tree with a 'backbone' subtree
+    params = {"backbone": {"conv": {"kernel": jnp.ones((3, 3, 3, 4))}},
+              "head": {"kernel": jnp.ones((4, 2))}}
+    state = tx.init(params)
+    grads = jax.tree_util.tree_map(jnp.ones_like, params)
+    updates, _ = tx.update(grads, state, params)
+    bb_u = float(jnp.abs(updates["backbone"]["conv"]["kernel"]).mean())
+    hd_u = float(jnp.abs(updates["head"]["kernel"]).mean())
+    assert bb_u < hd_u * 0.2  # ~10x smaller lr
+
+    cfg2 = _make_cfg()
+    cfg2.update({"FREEZE_PATTERNS": ["backbone"]})
+    tx2 = build_optimizer(cfg2, lambda s: 0.1)
+    st2 = tx2.init(params)
+    up2, _ = tx2.update(grads, st2, params)
+    assert float(jnp.abs(up2["backbone"]["conv"]["kernel"]).max()) == 0.0
+    assert float(jnp.abs(up2["head"]["kernel"]).max()) > 0.0
