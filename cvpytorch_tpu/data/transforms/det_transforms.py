@@ -375,6 +375,40 @@ class ToPercentCoords(ToCXCYWH):
     """(reference: det_transforms.py:672) — no-op, see ToCXCYWH."""
 
 
+
+class MixUp:
+    """Blend two consecutive samples (reference: det_transforms.py:1516).
+    Works on list samples (LOAD_NUM=2) or caches the previous sample."""
+
+    def __init__(self, p=0.15, alpha=32.0):
+        self.p = p
+        self.alpha = alpha
+        self._prev = None
+
+    def __call__(self, sample):
+        if isinstance(sample, list):
+            a, b = sample[0], sample[1]
+        else:
+            a, b = sample, self._prev
+            self._prev = {"image": sample["image"].copy(),
+                          "target": None if sample.get("target") is None else
+                          {k: (v.copy() if hasattr(v, "copy") else v)
+                           for k, v in sample["target"].items()}}
+        if b is None or random.random() >= self.p:
+            return a
+        if a["image"].shape != b["image"].shape:
+            return a
+        lam = np.random.beta(self.alpha, self.alpha)
+        img = (a["image"].astype(np.float32) * lam +
+               b["image"].astype(np.float32) * (1 - lam))
+        a["image"] = img.astype(a["image"].dtype)
+        ta, tb = a.get("target"), b.get("target")
+        if ta is not None and tb is not None:
+            ta["boxes"] = np.concatenate([ta["boxes"], tb["boxes"]], 0)
+            ta["labels"] = np.concatenate([ta["labels"], tb["labels"]], 0)
+        return a
+
+
 DET_TRANSFORMS = {
     "Resize": Resize,
     "RandomHorizontalFlip": RandomHorizontalFlip,
@@ -389,6 +423,7 @@ DET_TRANSFORMS = {
     "MedianBlur": MedianBlur,
     "RandomGrayscale": RandomGrayscale,
     "Cutout": Cutout,
+    "MixUp": MixUp,
     "ToCXCYWH": ToCXCYWH,
     "ToXYXY": ToXYXY,
     "ToPercentCoords": ToPercentCoords,

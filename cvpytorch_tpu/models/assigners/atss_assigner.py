@@ -1,0 +1,66 @@
+"""ATSS assigner — fixed-shape TPU reformulation
+(reference: src/models/assigners/atss_assigner.py:20, atss.py:19 — used by
+YOLOv6's warmup phase and GFL-family heads).
+
+Adaptive Training Sample Selection: per gt, take the top-k closest priors
+(center distance) per level as candidates; the IoU threshold is
+mean+std of the candidates' IoUs; positives are candidates above the
+threshold whose center lies inside the gt.  All steps are masked
+static-shape ops."""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ...ops.boxes import box_iou_matrix
+from .dsl_assigner import _ranks
+
+INF = 1e8
+
+
+def atss_assign(priors, num_level_priors, decoded_boxes, gt_boxes,
+                gt_labels, gt_valid, topk: int = 9):
+    """Single image.  priors (P,4) cx,cy,s,s; num_level_priors: static
+    tuple of per-level prior counts (sums to P).
+
+    Returns matched_gt (P,) (−1 background) and matched_iou (P,)."""
+    P = priors.shape[0]
+    M = gt_boxes.shape[0]
+    cx, cy = priors[:, 0], priors[:, 1]
+    gcx = (gt_boxes[:, 0] + gt_boxes[:, 2]) / 2
+    gcy = (gt_boxes[:, 1] + gt_boxes[:, 3]) / 2
+    dist = jnp.sqrt((cx[:, None] - gcx[None, :]) ** 2 +
+                    (cy[:, None] - gcy[None, :]) ** 2)  # (P, M)
+
+    ious = box_iou_matrix(decoded_boxes, gt_boxes)
+
+    # per-level top-k closest candidates
+    candidate = jnp.zeros((P, M), bool)
+    start = 0
+    for n in num_level_priors:
+        d = dist[start:start + n]
+        k = min(topk, n)
+        rank = _ranks(d, axis=0)
+        candidate = candidate.at[start:start + n].set(rank < k)
+        start += n
+    candidate = candidate & gt_valid[None, :]
+
+    cand_ious = jnp.where(candidate, ious, jnp.nan)
+    mean = jnp.nanmean(cand_ious, axis=0)  # (M,)
+    std = jnp.sqrt(jnp.nanmean((cand_ious - mean[None, :]) ** 2, axis=0))
+    thr = jnp.nan_to_num(mean + std)
+
+    inside = ((cx[:, None] > gt_boxes[None, :, 0]) &
+              (cx[:, None] < gt_boxes[None, :, 2]) &
+              (cy[:, None] > gt_boxes[None, :, 1]) &
+              (cy[:, None] < gt_boxes[None, :, 3]))
+    pos = candidate & inside & (ious >= thr[None, :])
+
+    # prior claimed by several gts keeps the max-IoU one
+    best_gt = jnp.argmax(jnp.where(pos, ious, -1.0), axis=-1)
+    fg = pos.any(-1)
+    matched_gt = jnp.where(fg, best_gt, -1)
+    matched_iou = jnp.where(
+        fg, jnp.take_along_axis(ious, jnp.maximum(matched_gt, 0)[:, None],
+                                axis=1)[:, 0], 0.0)
+    return {"matched_gt": matched_gt, "matched_iou": matched_iou}

@@ -69,3 +69,43 @@ def test_yolov6_contract(rng):
     assert np.isfinite(gn) and gn > 0
     _, preds = model.apply(v, imgs, tgts, mode="val")
     assert preds["boxes"].shape == (1, 300, 4)
+
+
+def test_atss_assigner():
+    from cvpytorch_tpu.models.assigners.atss_assigner import atss_assign
+
+    P = 16
+    priors = np.zeros((P, 4), np.float32)
+    i = 0
+    for y in range(4):
+        for x in range(4):
+            priors[i] = [x * 8 + 4, y * 8 + 4, 8, 8]
+            i += 1
+    gt = jnp.array([[6.0, 6, 22, 22], [0, 0, 0, 0]])
+    labels = jnp.array([1, 0])
+    valid = jnp.array([True, False])
+    decoded = jnp.stack([
+        jnp.asarray(priors[:, 0]) - 6, jnp.asarray(priors[:, 1]) - 6,
+        jnp.asarray(priors[:, 0]) + 6, jnp.asarray(priors[:, 1]) + 6], -1)
+    out = atss_assign(jnp.asarray(priors), (P,), decoded, gt, labels, valid,
+                      topk=6)
+    m = np.asarray(out["matched_gt"])
+    assert (m >= 0).sum() >= 1
+    assert (m[m >= 0] == 0).all()
+    # positives must have centers inside the gt
+    for idx in np.where(m >= 0)[0]:
+        assert 6 < priors[idx, 0] < 22 and 6 < priors[idx, 1] < 22
+
+
+def test_mixup_transform():
+    from cvpytorch_tpu.data.transforms.det_transforms import MixUp
+
+    a = {"image": np.full((8, 8, 3), 200, np.uint8),
+         "target": {"boxes": np.array([[1.0, 1, 4, 4]], np.float32),
+                    "labels": np.array([0], np.int32)}}
+    b = {"image": np.zeros((8, 8, 3), np.uint8),
+         "target": {"boxes": np.array([[2.0, 2, 6, 6]], np.float32),
+                    "labels": np.array([1], np.int32)}}
+    out = MixUp(p=1.0)([a, b])
+    assert out["target"]["boxes"].shape == (2, 4)
+    assert 0 < out["image"].mean() < 200
