@@ -9,6 +9,7 @@ from . import mobilenetv2, resnet, shufflenetv2, vgg  # noqa: F401
 from . import csp_darknet, tinynet  # noqa: F401
 from . import efficientnet, mobilenetv3, convnext, repvgg, misc_backbones  # noqa: F401
 from . import seg_transformers  # noqa: F401
+from . import seg_light  # noqa: F401
 
 
 def build_backbone(cfg: dict):

@@ -41,3 +41,41 @@ def test_transformer_segmentors(rng, cfg):
     assert np.isfinite(float(loss))
     preds = model.apply(v, img, mode="infer", rngs={"dropout": rng})
     assert preds.shape == (1, 32, 32)
+
+
+@pytest.mark.parametrize("cfg", [
+    {"BACKBONE": {"name": "TopFormerBackbone", "subtype": "topformer_t"},
+     "HEAD": {"name": "TopFormerHead", "channels": 32}},
+    {"BACKBONE": {"name": "RegSegBackbone", "out_stages": [2, 3, 4]},
+     "HEAD": {"name": "RegSegHead", "channels": 32}},
+])
+def test_light_transformer_segmentors(rng, cfg):
+    model = EncoderDecoder(dictionary=({"a": 1}, {"b": 1}),
+                           model_cfg=CommonConfiguration(cfg))
+    img = jax.random.normal(rng, (1, 32, 32, 3))
+    tgt = jnp.zeros((1, 32, 32), jnp.int32)
+    v = model.init({"params": rng, "dropout": rng}, img, tgt, mode="train")
+    (loss, _), _ = model.apply(v, img, tgt, mode="train",
+                               mutable=["batch_stats"],
+                               rngs={"dropout": rng})
+    assert np.isfinite(float(loss))
+    assert model.apply(v, img, mode="infer",
+                       rngs={"dropout": rng}).shape == (1, 32, 32)
+
+
+def test_efficientdet_contract(rng):
+    from cvpytorch_tpu.models.efficientdet import EfficientDet
+
+    model = EfficientDet(dictionary=({"a": 1}, {"b": 1}), model_cfg=None)
+    imgs = jax.random.normal(rng, (1, 128, 128, 3))
+    tgts = {"boxes": jnp.array([[[16.0, 16, 80, 80], [0, 0, 0, 0]]]),
+            "labels": jnp.zeros((1, 2), jnp.int32),
+            "valid": jnp.array([[True, False]]),
+            "pads": jnp.zeros((1, 2)), "scales": jnp.ones((1, 2))}
+    v = model.init({"params": rng, "dropout": rng}, imgs, tgts, mode="train")
+    (total, _), _ = model.apply(v, imgs, tgts, mode="train",
+                                mutable=["batch_stats"],
+                                rngs={"dropout": rng})
+    assert np.isfinite(float(total))
+    _, preds = model.apply(v, imgs, tgts, mode="val", rngs={"dropout": rng})
+    assert preds["boxes"].shape == (1, 100, 4)
