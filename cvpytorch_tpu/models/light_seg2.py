@@ -1,0 +1,216 @@
+"""ICNet, PPLiteSeg, LEDNet — remaining self-contained segmentation models
+(reference: src/models/icnet.py:92, src/models/pp_liteseg.py:24,
+src/models/led_net.py:353)."""
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..config import dictionary_to_names_weights
+from ..registry import MODELS
+from .backbones import build_backbone
+from .bricks import ConvBNAct
+from .heads.seg_heads import resize_bilinear
+from .light_seg import _seg_out
+from .losses.seg_loss import cross_entropy_2d, ohem_cross_entropy_2d
+
+_BN = dict(bn_momentum=0.9, bn_eps=1e-5)
+
+
+class CascadeFusion(nn.Module):
+    """CFF: upsample low-res + dilated conv, project high-res, sum
+    (reference: icnet.py cascade feature fusion)."""
+
+    out: int
+
+    @nn.compact
+    def __call__(self, low, high, train: bool = False):
+        low = resize_bilinear(low, high.shape[1:3])
+        low = ConvBNAct(self.out, 3, dilation=2, act=None, **_BN,
+                        name="low")(low, train)
+        high = ConvBNAct(self.out, 1, act=None, **_BN, name="high")(high, train)
+        return nn.relu(low + high)
+
+
+@MODELS.register(name="ICNet")
+class ICNet(nn.Module):
+    """(reference: icnet.py:92) — three-resolution cascade."""
+
+    dictionary: Sequence[Any] = ()
+    model_cfg: Any = None
+
+    def setup(self):
+        names, weights = dictionary_to_names_weights(list(self.dictionary))
+        self.num_classes = len(names)
+        self._w = tuple(weights)
+        cfg = self.model_cfg or {}
+        get = cfg.get if hasattr(cfg, "get") else (lambda k, d=None: d)
+        bb = get("BACKBONE") or {"name": "ResNet", "subtype": "resnet18",
+                                 "out_stages": (2, 4), "output_stride": 8}
+        self.backbone = build_backbone(
+            dict(bb.items()) if hasattr(bb, "items") else bb)
+
+    @nn.compact
+    def __call__(self, images, targets=None, mode: str = "infer"):
+        train = mode == "train"
+        # branch 1: full-res shallow convs
+        b1 = images
+        for i, ch in enumerate((32, 32, 64)):
+            b1 = ConvBNAct(ch, 3, 2, act="relu", **_BN,
+                           name=f"b1_{i}")(b1, train)  # /8
+        # branches 2/3: backbone on half-res input
+        half = resize_bilinear(images, (images.shape[1] // 2,
+                                        images.shape[2] // 2))
+        c_mid, c_deep = self.backbone(half, train=train)
+        # PPM-lite on the deep feature
+        g = jnp.mean(c_deep, axis=(1, 2), keepdims=True)
+        c_deep = c_deep + resize_bilinear(
+            ConvBNAct(c_deep.shape[-1], 1, act="relu", **_BN,
+                      name="ppm")(g, train), c_deep.shape[1:3])
+        f = CascadeFusion(128, name="cff1")(c_deep, c_mid, train)
+        f = CascadeFusion(128, name="cff2")(f, b1, train)
+        logits = nn.Conv(self.num_classes, (1, 1), name="head")(f)
+        logits = resize_bilinear(logits, images.shape[1:3])
+        return _seg_out(logits, targets, mode, self._w)
+
+
+class UAFM(nn.Module):
+    """Unified attention fusion (reference: pp_liteseg.py UAFM)."""
+
+    out: int
+
+    @nn.compact
+    def __call__(self, low, high, train: bool = False):
+        high = resize_bilinear(
+            ConvBNAct(self.out, 1, act="relu", **_BN, name="high")(high, train),
+            low.shape[1:3])
+        low = ConvBNAct(self.out, 3, act="relu", **_BN, name="low")(low, train)
+        # spatial attention from mean/max stats of both
+        stats = jnp.concatenate([
+            low.mean(-1, keepdims=True), low.max(-1, keepdims=True),
+            high.mean(-1, keepdims=True), high.max(-1, keepdims=True)], -1)
+        alpha = nn.sigmoid(nn.Conv(1, (3, 3), padding=1, name="attn")(stats))
+        return low * alpha + high * (1 - alpha)
+
+
+@MODELS.register(name="PPLiteSeg")
+class PPLiteSeg(nn.Module):
+    """(reference: pp_liteseg.py:24) — STDC backbone + SPPM + UAFM decoder."""
+
+    dictionary: Sequence[Any] = ()
+    model_cfg: Any = None
+
+    def setup(self):
+        names, weights = dictionary_to_names_weights(list(self.dictionary))
+        self.num_classes = len(names)
+        self._w = tuple(weights)
+        cfg = self.model_cfg or {}
+        get = cfg.get if hasattr(cfg, "get") else (lambda k, d=None: d)
+        bb = get("BACKBONE") or {"name": "STDCNet", "subtype": "stdc1"}
+        self.backbone = build_backbone(
+            dict(bb.items()) if hasattr(bb, "items") else bb)
+
+    @nn.compact
+    def __call__(self, images, targets=None, mode: str = "infer"):
+        train = mode == "train"
+        c3, c4, c5 = self.backbone(images, train=train)
+        # SPPM: pooled pyramid on c5
+        outs = []
+        for i, s in enumerate((1, 2, 4)):
+            p = jax.image.resize(c5, (c5.shape[0], s, s, c5.shape[-1]),
+                                 "linear")
+            p = ConvBNAct(128, 1, act="relu", **_BN, name=f"sppm{i}")(p, train)
+            outs.append(resize_bilinear(p, c5.shape[1:3]))
+        f = ConvBNAct(128, 3, act="relu", **_BN, name="sppm_out")(
+            sum(outs), train)
+        f = UAFM(96, name="uafm1")(c4, f, train)
+        f = UAFM(64, name="uafm2")(c3, f, train)
+        logits = nn.Conv(self.num_classes, (1, 1), name="head")(f)
+        logits = resize_bilinear(logits, images.shape[1:3])
+        if mode == "infer":
+            return jnp.argmax(logits, -1)
+        w = jnp.asarray(self._w)
+        loss = ohem_cross_entropy_2d(logits, targets, class_weights=w)
+        losses = {"seg_loss": loss, "loss": loss}
+        if mode == "train":
+            return loss, losses
+        return losses, jnp.argmax(logits, -1)
+
+
+class SSnbt(nn.Module):
+    """Split-shuffle non-bottleneck block (reference: led_net.py)."""
+
+    dilation: int = 1
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        ch = x.shape[-1] // 2
+        a, b = x[..., :ch], x[..., ch:]
+        c = lambda chn, k, d, name: ConvBNAct(
+            chn, k, dilation=d, act="relu", **_BN, name=name)
+        a = c(ch, (3, 1), 1, "a1")(a, train)
+        a = c(ch, (1, 3), 1, "a2")(a, train)
+        a = c(ch, (3, 1), self.dilation, "a3")(a, train)
+        a = c(ch, (1, 3), self.dilation, "a4")(a, train)
+        b = c(ch, (1, 3), 1, "b1")(b, train)
+        b = c(ch, (3, 1), 1, "b2")(b, train)
+        b = c(ch, (1, 3), self.dilation, "b3")(b, train)
+        b = c(ch, (3, 1), self.dilation, "b4")(b, train)
+        y = jnp.concatenate([a, b], -1)
+        y = nn.relu(x + y)
+        # channel shuffle
+        n, h, w, cc = y.shape
+        return y.reshape(n, h, w, 2, cc // 2).swapaxes(3, 4).reshape(
+            n, h, w, cc)
+
+
+@MODELS.register(name="LEDNet")
+class LEDNet(nn.Module):
+    """(reference: led_net.py:353) — SS-nbt encoder + attention pyramid
+    decoder (APN)."""
+
+    dictionary: Sequence[Any] = ()
+    model_cfg: Any = None
+
+    def setup(self):
+        names, weights = dictionary_to_names_weights(list(self.dictionary))
+        self.num_classes = len(names)
+        self._w = tuple(weights)
+
+    @nn.compact
+    def __call__(self, images, targets=None, mode: str = "infer"):
+        train = mode == "train"
+
+        def down(x, ch, name):
+            c = ConvBNAct(ch - x.shape[-1], 3, 2, act="relu", **_BN,
+                          name=name)(x, train)
+            p = nn.max_pool(x, (2, 2), strides=(2, 2))
+            return jnp.concatenate([c, p], -1)
+
+        x = down(images, 32, "down1")
+        for i in range(3):
+            x = SSnbt(name=f"s1_{i}")(x, train)
+        x = down(x, 64, "down2")
+        for i in range(2):
+            x = SSnbt(name=f"s2_{i}")(x, train)
+        x = down(x, 128, "down3")
+        for i, d in enumerate((1, 2, 5, 9, 2, 5, 9, 17)):
+            x = SSnbt(dilation=d, name=f"s3_{i}")(x, train)
+        # APN decoder
+        g = jnp.mean(x, axis=(1, 2), keepdims=True)
+        g = nn.Conv(self.num_classes, (1, 1), name="apn_g")(g)
+        a1 = ConvBNAct(self.num_classes, 3, act="relu", **_BN,
+                       name="apn1")(x, train)
+        a2 = ConvBNAct(self.num_classes, 5, 2, act="relu", **_BN,
+                       name="apn2")(x, train)
+        a3 = ConvBNAct(self.num_classes, 7, 2, act="relu", **_BN,
+                       name="apn3")(a2, train)
+        a3 = resize_bilinear(a3, a2.shape[1:3])
+        a2 = resize_bilinear(a2 + a3, a1.shape[1:3])
+        base = nn.Conv(self.num_classes, (1, 1), name="apn_base")(x)
+        logits = base * (a1 + a2) + g
+        logits = resize_bilinear(logits, images.shape[1:3])
+        return _seg_out(logits, targets, mode, self._w)

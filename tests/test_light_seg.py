@@ -29,3 +29,20 @@ def test_detail_target_marks_boundaries():
     assert d[4, 4] == 1.0      # corner is boundary
     assert d[8, 8] == 0.0      # interior is not
     assert d[0, 0] == 0.0      # far background is not
+
+
+@pytest.mark.parametrize("name", ["ICNet", "PPLiteSeg", "LEDNet"])
+def test_light_seg2_contract(rng, name):
+    from cvpytorch_tpu.models import light_seg2
+
+    cls = getattr(light_seg2, name)
+    model = cls(dictionary=({"bg": 1.0}, {"fg": 1.0}))
+    img = jax.random.normal(rng, (1, 64, 64, 3))
+    tgt = jnp.zeros((1, 64, 64), jnp.int32).at[:, 10:30, 10:30].set(1)
+    v = model.init({"params": rng, "dropout": rng}, img, tgt, mode="train")
+    (loss, _), _ = model.apply(v, img, tgt, mode="train",
+                               mutable=["batch_stats"],
+                               rngs={"dropout": rng})
+    assert np.isfinite(float(loss))
+    preds = model.apply(v, img, mode="infer", rngs={"dropout": rng})
+    assert preds.shape == (1, 64, 64)
