@@ -409,6 +409,17 @@ class MixUp:
         return a
 
 
+class CopyPaste:
+    """(reference: det_transforms.py:1542 — the reference implementation
+    is itself a stub; config-compatible no-op kept for parity)."""
+
+    def __init__(self, *a, **k):
+        pass
+
+    def __call__(self, sample):
+        return sample
+
+
 DET_TRANSFORMS = {
     "Resize": Resize,
     "RandomHorizontalFlip": RandomHorizontalFlip,
@@ -424,6 +435,7 @@ DET_TRANSFORMS = {
     "RandomGrayscale": RandomGrayscale,
     "Cutout": Cutout,
     "MixUp": MixUp,
+    "CopyPaste": CopyPaste,
     "ToCXCYWH": ToCXCYWH,
     "ToXYXY": ToXYXY,
     "ToPercentCoords": ToPercentCoords,

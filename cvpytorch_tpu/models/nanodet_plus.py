@@ -28,12 +28,16 @@ from .necks.ghost_pan import GhostPAN
 STRIDES = (8, 16, 32, 64)
 
 
-@MODELS.register(name="NanoDetPlus")
+@MODELS.register(name="NanoDetPlus", aliases=("NanoDet",))
 class NanoDetPlus(nn.Module):
+    """``NanoDet`` (v1, reference nanodet.py:18) is served by the same GFL
+    machinery with ``strides=(8,16,32)`` / no extra PAN level."""
+
     dictionary: Sequence[Any] = ()
     model_cfg: Any = None
     feat_channels: int = 96
     reg_max: int = 7
+    strides: Sequence[int] = STRIDES
     score_threshold: float = 0.05
     iou_threshold: float = 0.6
     max_det: int = 100
@@ -50,11 +54,12 @@ class NanoDetPlus(nn.Module):
         nget = neck_cfg.get if hasattr(neck_cfg, "get") else (lambda k, d=None: d)
         self.neck = GhostPAN(
             out_channels=int(nget("out_channels", self.feat_channels)
-                             or self.feat_channels))
+                             or self.feat_channels),
+            num_extra_levels=len(self.strides) - 3)
         self.head = NanoDetPlusHead(
             num_classes=self.num_classes,
             feat_channels=self.feat_channels,
-            strides=STRIDES,
+            strides=tuple(self.strides),
             reg_max=self.reg_max,
         )
 
@@ -63,8 +68,8 @@ class NanoDetPlus(nn.Module):
         feats = self.neck(feats, train=train)
         preds = self.head(feats, train=train)
         h, w = images.shape[1:3]
-        sizes = [(h // s, w // s) for s in STRIDES]
-        priors = center_priors(sizes, STRIDES)
+        sizes = [(h // s, w // s) for s in self.strides]
+        priors = center_priors(sizes, tuple(self.strides))
         return preds, priors
 
     def _predict(self, preds, priors, images, targets=None):

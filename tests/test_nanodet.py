@@ -114,3 +114,20 @@ def test_nanodet_model_contract(rng):
 
     ld, preds = model.apply(vars_, imgs, tgts, mode="val")
     assert preds["boxes"].shape == (1, 100, 4)
+
+
+def test_nanodet_v1_three_strides(rng):
+    """NanoDet (v1) = same GFL machinery at strides (8,16,32)."""
+    model = NanoDetPlus(dictionary=({"a": 1}, {"b": 1}),
+                        feat_channels=32, strides=(8, 16, 32))
+    imgs = jax.random.normal(rng, (1, 64, 64, 3))
+    tgts = {"boxes": jnp.array([[[8.0, 8, 40, 40], [0, 0, 0, 0]]]),
+            "labels": jnp.zeros((1, 2), jnp.int32),
+            "valid": jnp.array([[True, False]]),
+            "pads": jnp.zeros((1, 2)), "scales": jnp.ones((1, 2))}
+    v = model.init({"params": rng, "dropout": rng}, imgs, tgts, mode="train")
+    (t, _), _ = model.apply(v, imgs, tgts, mode="train",
+                            mutable=["batch_stats"])
+    assert np.isfinite(float(t))
+    _, preds = model.apply(v, imgs, tgts, mode="val")
+    assert preds["boxes"].shape == (1, 100, 4)
