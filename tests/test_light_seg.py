@@ -46,3 +46,20 @@ def test_light_seg2_contract(rng, name):
     assert np.isfinite(float(loss))
     preds = model.apply(v, img, mode="infer", rngs={"dropout": rng})
     assert preds.shape == (1, 64, 64)
+
+
+@pytest.mark.parametrize("name3", ["LSPNet", "SGCPNet"])
+def test_light_seg3_contract(rng, name3):
+    from cvpytorch_tpu.models import light_seg3
+
+    cls = getattr(light_seg3, name3)
+    model = cls(dictionary=({"bg": 1.0}, {"fg": 1.0}))
+    img = jax.random.normal(rng, (1, 64, 64, 3))
+    tgt = jnp.zeros((1, 64, 64), jnp.int32).at[:, 10:30, 10:30].set(1)
+    v = model.init({"params": rng, "dropout": rng}, img, tgt, mode="train")
+    (loss, _), _ = model.apply(v, img, tgt, mode="train",
+                               mutable=["batch_stats"],
+                               rngs={"dropout": rng})
+    assert np.isfinite(float(loss))
+    assert model.apply(v, img, mode="infer",
+                       rngs={"dropout": rng}).shape == (1, 64, 64)
