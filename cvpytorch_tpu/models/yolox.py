@@ -161,10 +161,15 @@ def yolox_loss(preds, priors, targets, num_classes):
                    "iou_loss": iou_loss}
 
 
-@MODELS.register(name="YOLOX")
+@MODELS.register(name="YOLOX", aliases=("PAIYOLOX", "PAI_YOLOX"))
 class YOLOX(nn.Module):
+    """``use_asff=True`` (or model name PAI-YOLOX, reference
+    pai_yolox.py:194) adds an adaptively-spatial-feature-fusion pass over
+    the PAN outputs."""
+
     dictionary: Sequence[Any] = ()
     model_cfg: Any = None
+    use_asff: bool = False
     conf_threshold: float = 0.01
     iou_threshold: float = 0.65
     max_det: int = 300
@@ -186,6 +191,13 @@ class YOLOX(nn.Module):
         self.neck_down2 = DownsampleFuse(make_divisible(1024 * wm),
                                          make_round(3, dm))
         self.head = YOLOXHead(self.num_classes, width_mul=wm)
+        if self.use_asff or "pai" in str(get("TYPE") or "").lower():
+            from .necks.asff import ASFF
+            from .bricks import make_divisible as _md
+
+            self.asff = ASFF(channels=_md(256 * wm))
+        else:
+            self.asff = None
 
     def _forward(self, images, train: bool):
         c3, c4, c5 = self.backbone(images, train=train)
@@ -193,7 +205,10 @@ class YOLOX(nn.Module):
         p3, t4 = self.neck_up2(p4u, c3, train)
         p4 = self.neck_down1(p3, t4, train)
         p5 = self.neck_down2(p4, t5, train)
-        preds = self.head((p3, p4, p5), train=train)
+        feats = (p3, p4, p5)
+        if self.asff is not None:
+            feats = self.asff(feats, train=train)
+        preds = self.head(feats, train=train)
         h, w = images.shape[1:3]
         priors = center_priors([(h // s, w // s) for s in STRIDES], STRIDES)
         return preds, priors

@@ -60,3 +60,22 @@ def test_yolox_model_contract(rng):
     assert np.isfinite(gn) and gn > 0
     _, preds = model.apply(v, imgs, tgts, mode="val")
     assert preds["boxes"].shape == (1, 300, 4)
+
+
+def test_pai_yolox_asff(rng):
+    """PAI-YOLOX = YOLOX + ASFF fusion over PAN outputs."""
+    model = YOLOX(dictionary=({"a": 1}, {"b": 1}),
+                  model_cfg=CommonConfiguration({"TYPE": "yolox_n"}),
+                  use_asff=True)
+    imgs = jax.random.normal(rng, (1, 64, 64, 3))
+    tgts = {"boxes": jnp.array([[[8.0, 8, 40, 40], [0, 0, 0, 0]]]),
+            "labels": jnp.zeros((1, 2), jnp.int32),
+            "valid": jnp.array([[True, False]]),
+            "pads": jnp.zeros((1, 2)), "scales": jnp.ones((1, 2))}
+    v = model.init({"params": rng, "dropout": rng}, imgs, tgts, mode="train")
+    assert "asff" in v["params"]
+    (t, _), _ = model.apply(v, imgs, tgts, mode="train",
+                            mutable=["batch_stats"])
+    assert np.isfinite(float(t))
+    _, preds = model.apply(v, imgs, tgts, mode="val")
+    assert preds["boxes"].shape == (1, 300, 4)
