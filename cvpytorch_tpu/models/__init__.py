@@ -17,6 +17,7 @@ from . import efficientdet  # noqa: F401
 from . import yolop  # noqa: F401
 from . import light_seg2  # noqa: F401
 from . import light_seg3  # noqa: F401
+from . import objectbox  # noqa: F401
 from .necks import fcos_fpn  # noqa: F401
 from .heads import seg_heads, seg_heads_extra  # noqa: F401
 from .classification import Classification  # noqa: F401
