@@ -85,16 +85,25 @@ def decode_nanodet(preds, priors, num_classes, reg_max):
 
 
 def nanodet_loss(preds, priors, targets, num_classes, reg_max,
-                 topk: int = 13):
-    """Full GFL loss over a padded-target batch."""
+                 topk: int = 13, assign_preds=None):
+    """Full GFL loss over a padded-target batch.
+
+    ``assign_preds``: optional predictions to COMPUTE THE ASSIGNMENT from
+    (the NanoDet-Plus aux-head training assist, reference
+    nanodet_plus.py:93-100 — the stronger aux head's detached outputs
+    drive matching for both heads)."""
     cls_logits, decoded, reg = decode_nanodet(preds, priors, num_classes,
                                               reg_max)
     B, P, C = cls_logits.shape
 
+    a_cls, a_dec = cls_logits, decoded
+    if assign_preds is not None:
+        a_cls, a_dec, _ = decode_nanodet(assign_preds, priors, num_classes,
+                                         reg_max)
     assign = jax.vmap(
         lambda sc, db, gb, gl, gv: dsl_assign(
             sc, priors, db, gb, gl, gv, topk, 3.0)
-    )(jax.lax.stop_gradient(cls_logits), jax.lax.stop_gradient(decoded),
+    )(jax.lax.stop_gradient(a_cls), jax.lax.stop_gradient(a_dec),
       targets["boxes"], targets["labels"], targets["valid"])
     matched_gt = assign["matched_gt"]          # (B, P)
     matched_iou = assign["matched_iou"]

@@ -38,6 +38,8 @@ class NanoDetPlus(nn.Module):
     feat_channels: int = 96
     reg_max: int = 7
     strides: Sequence[int] = STRIDES
+    use_aux_head: bool = False    # training assist (reference :93-100)
+    aux_weight: float = 1.0
     score_threshold: float = 0.05
     iou_threshold: float = 0.6
     max_det: int = 100
@@ -62,15 +64,24 @@ class NanoDetPlus(nn.Module):
             strides=tuple(self.strides),
             reg_max=self.reg_max,
         )
+        self.aux_head = NanoDetPlusHead(
+            num_classes=self.num_classes,
+            feat_channels=self.feat_channels * 2,
+            strides=tuple(self.strides),
+            reg_max=self.reg_max,
+        ) if self.use_aux_head else None
 
     def _forward(self, images, train: bool):
         feats = self.backbone(images, train=train)
         feats = self.neck(feats, train=train)
         preds = self.head(feats, train=train)
+        aux_preds = None
+        if self.aux_head is not None and train:
+            aux_preds = self.aux_head(feats, train=train)
         h, w = images.shape[1:3]
         sizes = [(h // s, w // s) for s in self.strides]
         priors = center_priors(sizes, tuple(self.strides))
-        return preds, priors
+        return preds, aux_preds, priors
 
     def _predict(self, preds, priors, images, targets=None):
         cls_logits, boxes, _ = decode_nanodet(
@@ -93,13 +104,19 @@ class NanoDetPlus(nn.Module):
 
     def __call__(self, images, targets=None, mode: str = "infer"):
         train = mode == "train"
-        preds, priors = self._forward(images, train=train)
+        preds, aux_preds, priors = self._forward(images, train=train)
         if mode in ("train", "val"):
+            t = {"boxes": targets["boxes"], "labels": targets["labels"],
+                 "valid": targets["valid"]}
             total, losses = nanodet_loss(
-                preds, priors,
-                {"boxes": targets["boxes"], "labels": targets["labels"],
-                 "valid": targets["valid"]},
-                self.num_classes, self.reg_max)
+                preds, priors, t, self.num_classes, self.reg_max,
+                assign_preds=aux_preds)
+            if aux_preds is not None:
+                aux_total, aux_losses = nanodet_loss(
+                    aux_preds, priors, t, self.num_classes, self.reg_max,
+                    assign_preds=aux_preds)
+                total = total + self.aux_weight * aux_total
+                losses.update({f"aux_{k}": v for k, v in aux_losses.items()})
             losses = {**losses, "loss": total}
             if mode == "train":
                 return total, losses

@@ -131,3 +131,28 @@ def test_nanodet_v1_three_strides(rng):
     assert np.isfinite(float(t))
     _, preds = model.apply(v, imgs, tgts, mode="val")
     assert preds["boxes"].shape == (1, 100, 4)
+
+
+def test_nanodet_plus_aux_head(rng):
+    """Aux-head assist: stronger head drives assignment for both heads."""
+    model = NanoDetPlus(dictionary=({"a": 1}, {"b": 1}), feat_channels=32,
+                        strides=(8, 16, 32), use_aux_head=True)
+    imgs = jax.random.normal(rng, (1, 64, 64, 3))
+    tgts = {"boxes": jnp.array([[[8.0, 8, 40, 40], [0, 0, 0, 0]]]),
+            "labels": jnp.zeros((1, 2), jnp.int32),
+            "valid": jnp.array([[True, False]]),
+            "pads": jnp.zeros((1, 2)), "scales": jnp.ones((1, 2))}
+    v = model.init({"params": rng, "dropout": rng}, imgs, tgts, mode="train")
+    assert "aux_head" in v["params"]
+    (t, ld), _ = model.apply(v, imgs, tgts, mode="train",
+                             mutable=["batch_stats"])
+    assert np.isfinite(float(t))
+    assert "aux_qfl_loss" in ld
+    g = jax.grad(lambda p: model.apply(
+        {"params": p, "batch_stats": v["batch_stats"]}, imgs, tgts,
+        mode="train", mutable=["batch_stats"])[0][0])(v["params"])
+    gn = sum(float(jnp.abs(x).sum()) for x in jax.tree_util.tree_leaves(g))
+    assert np.isfinite(gn) and gn > 0
+    # inference path unaffected by the aux head
+    _, preds = model.apply(v, imgs, tgts, mode="val")
+    assert preds["boxes"].shape == (1, 100, 4)
