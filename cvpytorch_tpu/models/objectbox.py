@@ -1,10 +1,9 @@
 """ObjectBox (reference: src/models/objectbox.py:153) — center-based
 single-stage detection: every gt is assigned at its center cell on EVERY
-pyramid level (no anchor-shape gating), boxes regressed as scaled offsets.
-
-Implemented on the YOLOv5 machinery with a single unit anchor per level and
-the anchor-ratio filter disabled (``anchor_t=inf``) — which is exactly the
-all-scale center assignment ObjectBox proposes."""
+pyramid level (no anchor-shape gating), boxes regressed as *corner
+distances* with per-level gain 2^i (reference objectbox_detect.py:70-88,
+objectbox_loss.py:57-63) — large objects are representable at the coarse
+levels, unlike an anchor-scaled wh parametrization."""
 from __future__ import annotations
 
 from typing import Any, Sequence
@@ -13,9 +12,7 @@ from flax import linen as nn
 
 from ..registry import MODELS
 from .yolov5 import STRIDES, YOLOv5
-from .losses.yolov5_loss import YOLOv5Loss
-
-UNIT_ANCHORS = (((1.0, 1.0),), ((1.0, 1.0),), ((1.0, 1.0),))
+from .losses.objectbox_loss import ObjectBoxLoss, decode_objectbox
 
 
 @MODELS.register(name="ObjectBox")
@@ -34,19 +31,18 @@ class ObjectBox(YOLOv5):
         self.neck = YOLOv5Neck(subtype=f"yolov5_{size}")
         self.detect = YOLOv5Detect(num_classes=self.num_classes,
                                    num_anchors=1)
-        self.loss = YOLOv5Loss(
-            num_classes=self.num_classes, anchors=UNIT_ANCHORS,
-            strides=STRIDES, anchor_t=1e9)
+        self.loss = ObjectBoxLoss(num_classes=self.num_classes,
+                                  strides=STRIDES)
 
     def _predict(self, images, raw_outs, targets=None):
         from ..ops.boxes import clip_boxes, unletterbox_boxes
         from ..ops.nms import yolo_non_max_suppression
-        from .detects.yolov5_detect import decode_yolov5
 
-        decoded = decode_yolov5(raw_outs, UNIT_ANCHORS, STRIDES)
+        decoded = decode_objectbox(raw_outs, STRIDES)
         dets = yolo_non_max_suppression(
             decoded, self.num_classes, conf_threshold=self.conf_threshold,
-            iou_threshold=self.iou_threshold, max_det=self.max_det)
+            iou_threshold=self.iou_threshold, max_det=self.max_det,
+            multi_label=self.multi_label and self.num_classes > 1)
         h, w = images.shape[1:3]
         boxes = clip_boxes(dets["boxes"], h, w)
         if targets is not None and "pads" in targets:

@@ -40,6 +40,8 @@ class YOLOv5(nn.Module):
     conf_threshold: float = 0.001
     iou_threshold: float = 0.6
     max_det: int = 300
+    # reference mAP path uses multi_label=True when nc > 1 (yolov5.py:92-110)
+    multi_label: bool = True
 
     def setup(self):
         self.num_classes = max(len(self.dictionary), 1)
@@ -88,6 +90,7 @@ class YOLOv5(nn.Module):
             conf_threshold=self.conf_threshold,
             iou_threshold=self.iou_threshold,
             max_det=self.max_det,
+            multi_label=self.multi_label and self.num_classes > 1,
         )
         h, w = images.shape[1:3]
         boxes = clip_boxes(dets["boxes"], h, w)

@@ -132,9 +132,10 @@ def yolo_non_max_suppression(
     (reference: yolov5.py:62-153).
 
     pred (B, N, 5+C): xywh(center) + obj + cls-probs in network pixels.
-    Best-class-only variant (multi_label=False, the mAP-relevant default
-    uses multi_label=True in the reference; fixed-shape multi-label is
-    emulated by per-class score channels → here best-class for round 1).
+    multi_label=True matches the reference mAP path (every class above
+    threshold becomes a candidate, yolov5.py:92-110); fixed-shape here via
+    top-k over the (N·C) score matrix with boxes gathered by idx // C —
+    the box tensor is never replicated per class.
     """
     from .boxes import cxcywh_to_xyxy
 
@@ -142,12 +143,13 @@ def yolo_non_max_suppression(
     obj = pred[..., 4:5]
     cls_scores = pred[..., 5:5 + num_classes] * obj
     if multi_label:
-        # expand each candidate into its per-class copies: fixed shape
-        # (B, N*C) score list with repeated boxes
         B, N, C = cls_scores.shape
-        scores = cls_scores.reshape(B, N * C)
-        labels = jnp.tile(jnp.arange(C)[None, None, :], (B, N, 1)).reshape(B, N * C)
-        boxes = jnp.repeat(boxes, C, axis=1)
+        k = min(max_nms, N * C)
+        top_sc, top_idx = jax.lax.top_k(cls_scores.reshape(B, N * C), k)
+        labels = top_idx % C
+        box_idx = top_idx // C
+        boxes = jnp.take_along_axis(boxes, box_idx[..., None], axis=1)
+        scores = top_sc
     else:
         scores = cls_scores.max(-1)
         labels = cls_scores.argmax(-1)

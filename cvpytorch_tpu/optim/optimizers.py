@@ -54,9 +54,12 @@ def adam(lr, betas=(0.9, 0.999), eps=1e-8, **_):
 
 
 @OPTIMIZERS.register(name="AdamW")
-def adamw(lr, betas=(0.9, 0.999), eps=1e-8, **_):
-    # decay handled by the shared add_decayed_weights mask below
-    return optax.adam(lr, b1=betas[0], b2=betas[1], eps=eps)
+def adamw(lr, betas=(0.9, 0.999), eps=1e-8, weight_decay=0.0, mask=None, **_):
+    # Decoupled decay (torch.optim.AdamW semantics): decay is applied AFTER
+    # the adaptive scaling, scaled by the LR — NOT folded into the gradient
+    # like the shared add_decayed_weights (which would give coupled Adam-L2).
+    return optax.adamw(lr, b1=betas[0], b2=betas[1], eps=eps,
+                       weight_decay=weight_decay, mask=mask)
 
 
 @OPTIMIZERS.register(name="Adadelta")
@@ -137,9 +140,24 @@ def build_optimizer(cfg, lr_schedule) -> optax.GradientTransformation:
         kwargs["momentum"] = float(wp.get("momentum"))
     bias_mult = float(get("BIAS_LR_MULTIPLIER") or 1.0)
 
-    def make_core(scale: float):
+    decoupled = opt_type == "AdamW"
+
+    def _weight_mask(params):
+        return jax.tree_util.tree_map_with_path(
+            lambda p, l: _leaf_label(p, l) == "weight", params)
+
+    def make_core(scale: float, decay: float | None = None):
         sched = (lambda s: lr_schedule(s) * scale) if scale != 1.0 else lr_schedule
-        return OPTIMIZERS.get(opt_type)(sched, **kwargs)
+        kw = dict(kwargs)
+        if decoupled:
+            # decay == None → whole-tree core: mask decay to weights inside.
+            # decay given → multi_transform per-group core: group IS the
+            # decay partition, so pass the scalar directly, no mask.
+            if decay is None:
+                kw.update(weight_decay=wd, mask=_weight_mask)
+            else:
+                kw.update(weight_decay=decay)
+        return OPTIMIZERS.get(opt_type)(sched, **kw)
 
     chain = []
     clip_cfg = cfg.GRAD_CLIP
@@ -149,7 +167,7 @@ def build_optimizer(cfg, lr_schedule) -> optax.GradientTransformation:
         else:
             chain.append(optax.clip(float(clip_cfg.get("VALUE"))))
 
-    if wd > 0:
+    if wd > 0 and not decoupled:
         chain.append(
             optax.masked(
                 optax.add_decayed_weights(wd),
@@ -176,13 +194,14 @@ def build_optimizer(cfg, lr_schedule) -> optax.GradientTransformation:
 
             return jax.tree_util.tree_map_with_path(label, params)
 
-        transforms = {"bias": make_core(bias_mult), "norm": make_core(1.0),
-                      "weight": make_core(1.0)}
+        transforms = {"bias": make_core(bias_mult, decay=0.0),
+                      "norm": make_core(1.0, decay=0.0),
+                      "weight": make_core(1.0, decay=wd)}
         if bb_scale != 1.0:
             transforms.update({
-                "backbone_bias": make_core(bias_mult * bb_scale),
-                "backbone_norm": make_core(bb_scale),
-                "backbone_weight": make_core(bb_scale),
+                "backbone_bias": make_core(bias_mult * bb_scale, decay=0.0),
+                "backbone_norm": make_core(bb_scale, decay=0.0),
+                "backbone_weight": make_core(bb_scale, decay=wd),
             })
         core = optax.multi_transform(transforms, labels_fn)
     else:

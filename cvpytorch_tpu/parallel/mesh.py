@@ -74,11 +74,13 @@ def shard_batch(mesh: Mesh, batch: Any) -> Any:
     Replaces DistributedSampler + per-rank H2D copies
     (reference: trainer.py:97,156-175).
     """
-    sharding = batch_sharding(mesh)
+    n_data = mesh.shape[DATA_AXIS]
 
     def _put(x):
         x = np.asarray(x)
-        if x.ndim == 0:
+        if x.ndim == 0 or x.shape[0] % n_data:
+            # last partial val batch (drop_last=False) can't split evenly
+            # across the data axis — place it replicated instead of crashing
             return jax.device_put(x, replicated(mesh))
         return jax.device_put(x, NamedSharding(mesh, P(DATA_AXIS, *([None] * (x.ndim - 1)))))
 

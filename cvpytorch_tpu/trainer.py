@@ -179,9 +179,13 @@ class Trainer:
         first = next(iter(train_loader))
         state = self._build_train_state(first)
 
-        train_step = make_train_step(
-            amp=bool(cfg.AMP), ema_decay=0.9999 if cfg.EMA else 0.0
-        )
+        ema_decay = 0.0
+        if cfg.EMA:
+            # EMA: True → reference ModelEMA default decay (ema.py:13);
+            # EMA: {DECAY: d} → configurable
+            ema_decay = float(cfg.EMA.get("DECAY", 0.9999)) \
+                if hasattr(cfg.EMA, "get") else 0.9999
+        train_step = make_train_step(amp=bool(cfg.AMP), ema_decay=ema_decay)
         eval_step = make_eval_step(use_ema=bool(cfg.EMA))
 
         ckpts = writer = None

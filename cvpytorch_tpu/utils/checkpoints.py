@@ -81,8 +81,35 @@ class Checkpoints:
     @staticmethod
     def restore_into(state, path: str):
         """Full resume: model+opt+EMA+step+rng (reference resume_checkpoint
-        restores only model/optimizer/epoch, checkpoints.py:43-51)."""
-        payload = Checkpoints.load(path)
+        restores only model/optimizer/epoch, checkpoints.py:43-51).
+
+        A structure-free orbax restore returns optax namedtuple/tuple
+        opt_state nodes as dicts/lists, which crashes the first
+        ``tx.update``; restore against an item template built from the
+        live state so every container type survives the round trip.
+        """
+        raw = Checkpoints.load(path)
+        item = {
+            "step": np.asarray(state.step),
+            "params": state.params,
+            "batch_stats": state.batch_stats,
+            "opt_state": state.opt_state,
+            "rng": np.asarray(state.rng),
+        }
+        if "ema_params" in raw:
+            item["ema_params"] = (
+                state.ema_params if state.ema_params is not None else state.params
+            )
+            if "ema_batch_stats" in raw:
+                item["ema_batch_stats"] = (
+                    state.ema_batch_stats
+                    if state.ema_batch_stats is not None
+                    else state.batch_stats
+                )
+        if "extra" in raw:
+            item["extra"] = raw["extra"]
+        payload = ocp.PyTreeCheckpointer().restore(os.path.abspath(path),
+                                                   item=item)
         kwargs = dict(
             step=jax.numpy.asarray(payload["step"]),
             params=payload["params"],

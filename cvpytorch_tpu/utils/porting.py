@@ -22,8 +22,15 @@ from typing import Iterable, Mapping, Sequence
 import numpy as np
 
 
-def convert_tensor(name: str, t) -> tuple[str, np.ndarray, str]:
-    """Returns (leaf_name, array, collection) for one torch tensor."""
+def convert_tensor(name: str, t, transposed: bool = False
+                   ) -> tuple[str, np.ndarray, str]:
+    """Returns (leaf_name, array, collection) for one torch tensor.
+
+    ``transposed`` marks ConvTranspose2d weights, whose torch layout is
+    (in, out, kH, kW) — NOT the Conv2d (out, in, kH, kW) — so they need
+    (2,3,0,1) to reach flax's HWIO, not the default (2,3,1,0) (which would
+    silently swap in/out channels whenever in == out).
+    """
     a = np.asarray(t.detach().cpu().numpy() if hasattr(t, "detach") else t)
     if name.endswith(".running_mean"):
         return "mean", a, "batch_stats"
@@ -33,8 +40,11 @@ def convert_tensor(name: str, t) -> tuple[str, np.ndarray, str]:
         return "", a, "skip"
     leaf = name.rsplit(".", 1)[-1]
     if leaf == "weight":
-        if a.ndim == 4:  # conv OIHW → HWIO
-            return "kernel", a.transpose(2, 3, 1, 0), "params"
+        if a.ndim == 4:  # conv OIHW → HWIO; deconv IOHW → HWIO
+            return ("kernel",
+                    a.transpose(2, 3, 0, 1) if transposed
+                    else a.transpose(2, 3, 1, 0),
+                    "params")
         if a.ndim == 2:  # linear
             return "kernel", a.T, "params"
         return "scale", a, "params"  # norm affine weight
@@ -54,19 +64,26 @@ def port_state_dict(
     state_dict: Mapping[str, "np.ndarray"],
     rules: Iterable[tuple[str, str]],
     strict: bool = False,
+    transposed_patterns: Iterable[str] = (),
 ) -> dict:
     """Map torch ``state_dict`` into flax {'params', 'batch_stats'} trees.
 
     rules: ordered (regex, replacement) applied to each torch key's module
     path (without the trailing .weight/.bias/...); the result is the flax
     path joined by '/'.  A rule mapping to '' drops the entry.
+    transposed_patterns: regexes over the module path marking
+    ConvTranspose2d modules (IOHW weight layout).
     """
     params: dict = {}
     batch_stats: dict = {}
     unmatched = []
+    transposed_patterns = list(transposed_patterns)
     for name, tensor in state_dict.items():
         module_path = name.rsplit(".", 1)[0]
-        leaf, arr, coll = convert_tensor(name, tensor)
+        is_transposed = any(
+            re.fullmatch(p, module_path) for p in transposed_patterns)
+        leaf, arr, coll = convert_tensor(name, tensor,
+                                         transposed=is_transposed)
         if coll == "skip":
             continue
         flax_path = None
