@@ -1,0 +1,215 @@
+"""Torch-oracle harness: import the REFERENCE's own torch modules from
+/root/reference/src and compare our JAX reformulations against them
+numerically (the only accuracy-parity instrument in a zero-egress world).
+
+The reference depends on torchvision + pycocotools which are not in this
+image; ``setup_reference()`` installs minimal pure-torch/pure-python stubs
+in ``sys.modules`` *before* putting /root/reference on sys.path.  The stubs
+implement the handful of ops the imported code actually executes (nms,
+box_iou); torchvision *model* factories used by wrapper backbones
+(resnet50, mobilenet_v2) are provided by tests/oracle_models.py as faithful
+pure-torch re-implementations of the canonical architectures so the
+reference wrappers can slice their children exactly as they do upstream.
+
+Reference modules run on CPU — pass device='cpu' to losses whose ctor
+defaults to 'cuda:0'.
+"""
+from __future__ import annotations
+
+import sys
+import types
+
+REFERENCE_ROOT = "/root/reference"
+
+
+def _torch_nms(boxes, scores, iou_threshold):
+    """Sequential greedy NMS, identical keep-order to torchvision.ops.nms."""
+    import torch
+
+    order = scores.argsort(descending=True)
+    keep = []
+    suppressed = torch.zeros(boxes.shape[0], dtype=torch.bool)
+    areas = (boxes[:, 2] - boxes[:, 0]).clamp(min=0) * \
+            (boxes[:, 3] - boxes[:, 1]).clamp(min=0)
+    for idx in order.tolist():
+        if suppressed[idx]:
+            continue
+        keep.append(idx)
+        lt = torch.max(boxes[idx, :2], boxes[:, :2])
+        rb = torch.min(boxes[idx, 2:], boxes[:, 2:])
+        wh = (rb - lt).clamp(min=0)
+        inter = wh[:, 0] * wh[:, 1]
+        iou = inter / (areas[idx] + areas - inter + 1e-12)
+        suppressed |= iou > iou_threshold
+    return torch.tensor(keep, dtype=torch.long)
+
+
+def _torch_box_iou(box1, box2):
+    import torch
+
+    a1, a2 = box1[:, None, :2], box1[:, None, 2:]
+    b1, b2 = box2[None, :, :2], box2[None, :, 2:]
+    inter = (torch.min(a2, b2) - torch.max(a1, b1)).clamp(min=0).prod(-1)
+    area1 = (box1[:, 2:] - box1[:, :2]).clamp(min=0).prod(-1)
+    area2 = (box2[:, 2:] - box2[:, :2]).clamp(min=0).prod(-1)
+    return inter / (area1[:, None] + area2[None, :] - inter + 1e-12)
+
+
+def _make_torchvision():
+    import torch
+
+    tv = types.ModuleType("torchvision")
+    ops = types.ModuleType("torchvision.ops")
+    ops.nms = _torch_nms
+    ops.box_iou = _torch_box_iou
+
+    def batched_nms(boxes, scores, idxs, iou_threshold):
+        if boxes.numel() == 0:
+            return torch.empty((0,), dtype=torch.long)
+        offs = idxs.to(boxes) * (boxes.max() + 1)
+        return _torch_nms(boxes + offs[:, None], scores, iou_threshold)
+
+    ops.batched_nms = batched_nms
+
+    class _Unavailable:
+        def __init__(self, *a, **k):
+            raise RuntimeError(
+                "torchvision stub: this component is not implemented; "
+                "oracle tests must not execute it")
+
+    ops.MultiScaleRoIAlign = _Unavailable
+    ops.roi_align = _Unavailable
+    ops_boxes = types.ModuleType("torchvision.ops.boxes")
+    ops_boxes.nms = _torch_nms
+    ops_boxes.box_iou = _torch_box_iou
+    ops_boxes.batched_nms = batched_nms
+    ops.boxes = ops_boxes
+
+    models = types.ModuleType("torchvision.models")
+
+    def _lazy_models():
+        from tests import oracle_models
+        return oracle_models
+
+    resnet_mod = types.ModuleType("torchvision.models.resnet")
+    for name in ("resnet18", "resnet34", "resnet50", "resnet101",
+                 "resnet152"):
+        def _factory(pretrained=False, _name=name, **kw):
+            if pretrained:
+                raise RuntimeError("zero-egress: no pretrained weights")
+            return getattr(_lazy_models(), _name)(**kw)
+        setattr(resnet_mod, name, _factory)
+        setattr(models, name, _factory)
+
+    mbv2_mod = types.ModuleType("torchvision.models.mobilenetv2")
+
+    def mobilenet_v2(pretrained=False, **kw):
+        if pretrained:
+            raise RuntimeError("zero-egress: no pretrained weights")
+        return _lazy_models().mobilenet_v2(**kw)
+
+    mbv2_mod.mobilenet_v2 = mobilenet_v2
+    mbv2_mod.model_urls = {"mobilenet_v2": ""}
+    mb_mod = types.ModuleType("torchvision.models.mobilenet")
+    mb_mod.mobilenet_v2 = mobilenet_v2
+    mb_mod.model_urls = {"mobilenet_v2": ""}
+    models.mobilenet_v2 = mobilenet_v2
+    models.resnet = resnet_mod
+    models.mobilenet = mb_mod
+    models.mobilenetv2 = mbv2_mod
+
+    detection = types.ModuleType("torchvision.models.detection")
+    detection.maskrcnn_resnet50_fpn = _Unavailable
+    detection.fasterrcnn_resnet50_fpn = _Unavailable
+    detection.retinanet_resnet50_fpn = _Unavailable
+    models.detection = detection
+
+    tv.ops = ops
+    tv.models = models
+    tv.__version__ = "0.0.0-stub"
+    mods = {
+        "torchvision": tv,
+        "torchvision.ops": ops,
+        "torchvision.ops.boxes": ops_boxes,
+        "torchvision.models": models,
+        "torchvision.models.resnet": resnet_mod,
+        "torchvision.models.mobilenet": mb_mod,
+        "torchvision.models.mobilenetv2": mbv2_mod,
+        "torchvision.models.detection": detection,
+    }
+    return mods
+
+
+def _make_pycocotools():
+    pct = types.ModuleType("pycocotools")
+    for sub in ("coco", "cocoeval", "mask"):
+        m = types.ModuleType(f"pycocotools.{sub}")
+        setattr(pct, sub, m)
+
+    class _Unavailable:
+        def __init__(self, *a, **k):
+            raise RuntimeError("pycocotools stub")
+
+    pct.coco.COCO = _Unavailable
+    pct.cocoeval.COCOeval = _Unavailable
+    pct.mask.encode = _Unavailable
+    pct.mask.decode = _Unavailable
+    pct.mask.frPyObjects = _Unavailable
+    return {
+        "pycocotools": pct,
+        "pycocotools.coco": pct.coco,
+        "pycocotools.cocoeval": pct.cocoeval,
+        "pycocotools.mask": pct.mask,
+    }
+
+
+def _torch16_compat_shims():
+    """The reference targets torch 1.6, whose type promotion allowed e.g.
+    ``long.clamp_(float_tensor)`` (yolov5_loss.py:273).  Shim the strict
+    modern behavior back to 1.6 semantics for integer self tensors."""
+    import torch
+
+    orig_clamp_ = torch.Tensor.clamp_
+
+    def clamp_compat(self, min=None, max=None):
+        def cast(v):
+            if (isinstance(v, torch.Tensor)
+                    and v.dtype != self.dtype
+                    and not self.dtype.is_floating_point):
+                return v.to(self.dtype)
+            return v
+
+        return orig_clamp_(self, cast(min), cast(max))
+
+    torch.Tensor.clamp_ = clamp_compat
+
+    # hard-coded torch.cuda.FloatTensor constructors (seg_loss.py:19,330)
+    # → CPU equivalents on the CUDA-less in-tree torch
+    if not torch.cuda.is_available():
+        torch.cuda.FloatTensor = torch.FloatTensor
+
+
+_DONE = False
+
+
+def setup_reference():
+    """Install stubs + sys.path so ``import src.<...>`` resolves to the
+    reference.  Idempotent."""
+    global _DONE
+    if _DONE:
+        return
+    stubs = {}
+    stubs.update(_make_torchvision())
+    stubs.update(_make_pycocotools())
+    for name, mod in stubs.items():
+        sys.modules.setdefault(name, mod)
+    if REFERENCE_ROOT not in sys.path:
+        sys.path.insert(0, REFERENCE_ROOT)
+    _torch16_compat_shims()
+    _DONE = True
+
+
+def to_torch(x):
+    import torch
+
+    return torch.from_numpy(__import__("numpy").asarray(x))

@@ -1,53 +1,137 @@
-"""COCO mAP evaluator golden tests (hand-computable cases)."""
+"""COCO evaluator golden tests — hand-computed COCOeval-protocol cases
+(area ranges, AR@[1,10,100], maxDets, crowd handling; VERDICT r1 #4)."""
 import numpy as np
 
-from cvpytorch_tpu.evaluator.coco import CocoEvaluator, _ap_per_class, IOU_THRS
+from cvpytorch_tpu.evaluator.coco import (
+    COCOEvalNative, CocoEvaluator, IOU_THRS,
+)
 
 
-def _pack(boxes, scores, labels):
-    return (np.asarray(boxes, np.float32).reshape(-1, 4),
-            np.asarray(scores, np.float32), np.asarray(labels))
+def _eval1(gt_boxes, gt_labels, det_boxes, det_scores, det_labels,
+           num_classes=1, gt_crowd=None):
+    ev = COCOEvalNative(num_classes)
+    ev.add_image(gt_boxes, gt_labels, det_boxes, det_scores, det_labels,
+                 gt_crowd=gt_crowd)
+    return ev.summarize()
 
 
 def test_perfect_detection_ap_1():
-    gts = [(np.array([[0.0, 0, 10, 10]]), np.array([0]))]
-    dets = [_pack([[0.0, 0, 10, 10]], [0.9], [0])]
-    ap = _ap_per_class(dets, gts, 1)
-    assert np.allclose(ap, 1.0)
+    s = _eval1([[0.0, 0, 10, 10]], [0], [[0.0, 0, 10, 10]], [0.9], [0])
+    assert abs(s["mAP"] - 1.0) < 1e-9
+    assert abs(s["Recall_100"] - 1.0) < 1e-9
+    # 10×10 box is small-area; medium/large have no GT → -1 sentinel
+    assert abs(s["AP_small"] - 1.0) < 1e-9
+    assert s["AP_medium"] == -1.0
+    assert s["AP_large"] == -1.0
 
 
 def test_miss_detection_ap_0():
-    gts = [(np.array([[0.0, 0, 10, 10]]), np.array([0]))]
-    dets = [_pack(np.zeros((0, 4)), [], [])]
-    ap = _ap_per_class(dets, gts, 1)
-    assert np.allclose(ap, 0.0)
+    s = _eval1([[0.0, 0, 10, 10]], [0], np.zeros((0, 4)), [], [])
+    assert s["mAP"] == 0.0
+    assert s["Recall_100"] == 0.0
 
 
 def test_iou_threshold_sensitivity():
-    # detection with IoU ~0.68 vs gt: TP at 0.5/0.65, FP at 0.7+
-    gts = [(np.array([[0.0, 0, 10, 10]]), np.array([0]))]
-    dets = [_pack([[0.0, 0, 10, 6.8]], [0.9], [0])]
-    ap = _ap_per_class(dets, gts, 1)[0]
-    assert ap[0] == 1.0        # @0.5
-    assert ap[-1] == 0.0       # @0.95
-    assert 0 < np.nanmean(ap) < 1
+    # det IoU = 0.68 vs gt: TP at thresholds ≤ 0.65, FP above
+    s = _eval1([[0.0, 0, 10, 10]], [0], [[0.0, 0, 10, 6.8]], [0.9], [0])
+    n_pass = int((IOU_THRS <= 0.68).sum())  # 4 of 10
+    assert abs(s["mAP"] - n_pass / len(IOU_THRS)) < 1e-9
+    assert abs(s["AP_50"] - 1.0) < 1e-9
+    assert s["AP_75"] == 0.0
 
 
 def test_false_positive_lowers_precision():
-    gts = [(np.array([[0.0, 0, 10, 10]]), np.array([0]))]
-    # high-scoring FP before the TP
-    dets = [_pack([[50.0, 50, 60, 60], [0, 0, 10, 10]], [0.95, 0.9], [0, 0])]
-    ap = _ap_per_class(dets, gts, 1)[0, 0]
-    # 101-pt interpolation: precision 0.5 for all recall points
-    assert abs(ap - 0.5) < 0.01
+    s = _eval1([[0.0, 0, 10, 10]], [0],
+               [[50.0, 50, 60, 60], [0, 0, 10, 10]], [0.95, 0.9], [0, 0])
+    # 101-pt interpolation: precision 0.5 at every recall point
+    assert abs(s["AP_50"] - 0.5) < 0.01
 
 
 def test_class_confusion():
-    gts = [(np.array([[0.0, 0, 10, 10]]), np.array([1]))]
-    dets = [_pack([[0.0, 0, 10, 10]], [0.9], [0])]  # wrong class
-    ap = _ap_per_class(dets, gts, 2)
-    assert np.isnan(ap[0]).all()       # class 0 absent from GT
-    assert np.allclose(ap[1], 0.0)     # class 1 undetected
+    ev = COCOEvalNative(2)
+    ev.add_image([[0.0, 0, 10, 10]], [1], [[0.0, 0, 10, 10]], [0.9], [0])
+    s = ev.summarize()
+    # class 0 has no GT (excluded); class 1 undetected → mAP 0
+    assert s["mAP"] == 0.0
+
+
+def test_area_ranges():
+    # one small (20×20=400 < 32²) and one large (200×200 > 96²) GT,
+    # only the small one detected
+    gt = [[0.0, 0, 20, 20], [100, 100, 300, 300]]
+    s = _eval1(gt, [0, 0], [[0.0, 0, 20, 20]], [0.9], [0])
+    assert abs(s["AP_small"] - 1.0) < 1e-9
+    assert s["AP_large"] == 0.0
+    assert s["AP_medium"] == -1.0
+    assert abs(s["Recall_small"] - 1.0) < 1e-9
+    assert s["Recall_large"] == 0.0
+    # overall: recall caps at 0.5 → AP = 0.5 (envelope precision 1 up to .5)
+    assert abs(s["mAP"] - 0.5) < 0.01
+
+
+def test_maxdets_recall_sweep():
+    # two GTs, two perfect dets → Recall_1 = 0.5 (only top det), others 1.0
+    gt = [[0.0, 0, 50, 50], [100.0, 100, 150, 150]]
+    dets = [[0.0, 0, 50, 50], [100.0, 100, 150, 150]]
+    s = _eval1(gt, [0, 0], dets, [0.9, 0.8], [0, 0])
+    assert abs(s["Recall_1"] - 0.5) < 1e-9
+    assert abs(s["Recall_10"] - 1.0) < 1e-9
+    assert abs(s["Recall_100"] - 1.0) < 1e-9
+
+
+def test_crowd_gt_ignores_matched_dets():
+    # crowd GT covers the det region; a second non-crowd GT is missed.
+    # The det matching the crowd is neither TP nor FP; the non-crowd GT
+    # drives recall/AP to 0 without a false positive penalty elsewhere.
+    gt = [[0.0, 0, 100, 100], [200.0, 200, 240, 240]]
+    s = _eval1(gt, [0, 0], [[10.0, 10, 60, 60]], [0.9], [0],
+               gt_crowd=[True, False])
+    assert s["mAP"] == 0.0
+    assert s["Recall_100"] == 0.0
+    # now add a det on the real GT: AP must be 1.0 — the crowd-matched det
+    # must NOT count as a false positive ahead of the true positive
+    s2 = _eval1(gt, [0, 0],
+                [[10.0, 10, 60, 60], [200.0, 200, 240, 240]],
+                [0.9, 0.8], [0, 0], gt_crowd=[True, False])
+    assert abs(s2["mAP"] - 1.0) < 1e-9
+
+
+def test_crowd_iou_uses_det_area():
+    # det fully inside a big crowd region: IoU(crowd) = inter/det_area = 1
+    # → matched-ignored even though normal IoU would be tiny
+    gt = [[0.0, 0, 1000, 1000]]
+    s = _eval1(gt, [0], [[10.0, 10, 20, 20]], [0.9], [0],
+               gt_crowd=[True])
+    # only ignored GT → no non-ignored GT anywhere → class excluded
+    assert s["mAP"] == -1.0
+
+
+def test_second_match_to_same_gt_is_fp():
+    gt = [[0.0, 0, 50, 50]]
+    dets = [[0.0, 0, 50, 50], [1.0, 1, 51, 51]]
+    s = _eval1(gt, [0], dets, [0.9, 0.8], [0, 0])
+    # duplicate counts as FP after recall 1.0 → AP stays 1.0 (envelope),
+    # 101-pt: precision at recall 1.0 is max(1.0, 0.5) = 1.0
+    assert abs(s["AP_50"] - 1.0) < 1e-9
+
+
+def test_mask_ap_segm():
+    m_gt = np.zeros((1, 64, 64), bool)
+    m_gt[0, 10:30, 10:30] = True
+    m_dt_good = m_gt.copy()
+    m_dt_half = np.zeros((1, 64, 64), bool)
+    m_dt_half[0, 10:30, 10:20] = True  # IoU 0.5 with gt
+    ev = COCOEvalNative(1, iou_type="segm")
+    ev.add_image([[10.0, 10, 30, 30]], [0], [[10.0, 10, 30, 30]], [0.9], [0],
+                 gt_masks=m_gt, det_masks=m_dt_good)
+    s = ev.summarize()
+    assert abs(s["mAP"] - 1.0) < 1e-9
+    ev2 = COCOEvalNative(1, iou_type="segm")
+    ev2.add_image([[10.0, 10, 30, 30]], [0], [[10.0, 10, 30, 20]], [0.9], [0],
+                  gt_masks=m_gt, det_masks=m_dt_half)
+    s2 = ev2.summarize()
+    # mask IoU 0.5: TP only at the 0.5 threshold → mAP = 1/10
+    assert abs(s2["mAP"] - 0.1) < 1e-9
 
 
 def test_evaluator_end_to_end_padded():
@@ -70,6 +154,12 @@ def test_evaluator_end_to_end_padded():
     m = ev.evaluate()
     assert abs(m["mAP"] - 1.0) < 1e-6
     assert m["performance"] == m["mAP"]
+    # full 12-metric set present with reference naming (eval_coco.py:40-41)
+    for k in ("bbox_mAP", "bbox_AP_50", "bbox_AP_75", "bbox_AP_small",
+              "bbox_AP_medium", "bbox_AP_large", "bbox_Recall_1",
+              "bbox_Recall_10", "bbox_Recall_100", "bbox_Recall_small",
+              "bbox_Recall_medium", "bbox_Recall_large"):
+        assert k in m, k
 
 
 def test_unletterbox_gt():
@@ -83,32 +173,11 @@ def test_unletterbox_gt():
         "scales": np.array([[2.0, 2.0]]),
     }
     preds = {
-        "boxes": np.array([[[0.0, 0, 50, 50]]]),  # already original space
+        "boxes": np.array([[[0.0, 0, 50, 50]]]),
         "scores": np.array([[0.9]]),
         "labels": np.array([[0]]),
         "valid": np.array([[True]]),
     }
     ev.update(targets, preds)
-    assert abs(ev.evaluate()["mAP"] - 1.0) < 1e-6
-
-
-def test_voc_evaluator_golden():
-    from cvpytorch_tpu.evaluator.voc import VOCEvaluator
-
-    ev = VOCEvaluator(num_classes=1)
-    targets = {
-        "boxes": np.array([[[0.0, 0, 10, 10], [20, 20, 30, 30]]]),
-        "labels": np.array([[0, 0]]),
-        "valid": np.array([[True, True]]),
-        "pads": np.zeros((1, 2)), "scales": np.ones((1, 2)),
-    }
-    preds = {
-        "boxes": np.array([[[0.0, 0, 10, 10], [50, 50, 60, 60]]]),
-        "scores": np.array([[0.9, 0.8]]),
-        "labels": np.array([[0, 0]]),
-        "valid": np.array([[True, True]]),
-    }
-    ev.update(targets, preds)
     m = ev.evaluate()
-    # 1 TP at recall 0.5 precision 1.0, then FP: AP = 0.5
-    assert abs(m["mAP"] - 0.5) < 1e-6
+    assert abs(m["mAP"] - 1.0) < 1e-6

@@ -1,0 +1,162 @@
+"""Numerical fidelity vs the REFERENCE's own torch losses (VERDICT r1 #2).
+
+Each test feeds identical random predictions/targets to the reference
+torch implementation (imported from /root/reference/src via tests/oracle)
+and to our fixed-shape JAX reformulation, asserting ≤1e-4 agreement.
+Targets are chosen with well-separated centers so the reference's
+last-write-wins objectness scatter and our deterministic scatter-max
+coincide (they only differ on cell collisions).
+"""
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from tests.oracle import setup_reference, to_torch  # noqa: E402
+
+setup_reference()
+
+
+def _rand_targets(rs, B, n_per_img, wh_range=(0.05, 0.4)):
+    """Well-separated normalized cxcywh targets.
+
+    Returns (rows (n,6) torch layout [img, cls, cx, cy, w, h], padded dict).
+    """
+    M = n_per_img + 2
+    rows = []
+    boxes = np.zeros((B, M, 4), np.float32)
+    labels = np.zeros((B, M), np.int64)
+    valid = np.zeros((B, M), bool)
+    # a coarse grid of separated centers
+    centers = [(0.2, 0.2), (0.65, 0.3), (0.35, 0.75), (0.8, 0.8)]
+    for b in range(B):
+        for t in range(n_per_img):
+            cx, cy = centers[t % len(centers)]
+            cx += rs.uniform(-0.05, 0.05)
+            cy += rs.uniform(-0.05, 0.05)
+            w = rs.uniform(*wh_range)
+            h = rs.uniform(*wh_range)
+            c = rs.randint(0, 4)
+            rows.append([b, c, cx, cy, w, h])
+            boxes[b, t] = [cx, cy, w, h]
+            labels[b, t] = c
+            valid[b, t] = True
+    padded = {"boxes": jnp.asarray(boxes), "labels": jnp.asarray(labels),
+              "valid": jnp.asarray(valid)}
+    return np.asarray(rows, np.float32), padded
+
+
+def _rand_preds(rs, B, grids, A, no):
+    """raw predictions per level: ours (B,ny,nx,A,no), torch (B,A,ny,nx,no)."""
+    ours, theirs = [], []
+    for (ny, nx) in grids:
+        x = rs.randn(B, ny, nx, A, no).astype(np.float32)
+        ours.append(jnp.asarray(x))
+        theirs.append(to_torch(x.transpose(0, 3, 1, 2, 4)))
+    return ours, theirs
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_yolov5_loss_matches_reference(seed):
+    from src.losses.yolov5_loss import YOLOv5Loss as RefLoss
+
+    from cvpytorch_tpu.models.losses.yolov5_loss import YOLOv5Loss
+    from cvpytorch_tpu.models.yolov5 import DEFAULT_ANCHORS
+
+    rs = np.random.RandomState(seed)
+    B, C, A = 2, 4, 3
+    grids = [(8, 8), (4, 4), (2, 2)]
+    rows, padded = _rand_targets(rs, B, 3)
+    ours_p, ref_p = _rand_preds(rs, B, grids, A, 5 + C)
+
+    ref = RefLoss(num_classes=C, anchors=DEFAULT_ANCHORS, device="cpu")
+    ref_total, ref_items = ref(ref_p, to_torch(rows))
+    ref_box, ref_obj, ref_cls = [float(v) for v in ref_items]
+
+    ours = YOLOv5Loss(num_classes=C, anchors=DEFAULT_ANCHORS)
+    total, items = ours(ours_p, padded)
+
+    np.testing.assert_allclose(float(items["box_loss"]), ref_box, atol=1e-4)
+    np.testing.assert_allclose(float(items["obj_loss"]), ref_obj, atol=1e-4)
+    np.testing.assert_allclose(float(items["cls_loss"]), ref_cls, atol=1e-4)
+    np.testing.assert_allclose(float(total), float(ref_total), rtol=1e-4)
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_objectbox_loss_matches_reference(seed):
+    from src.losses.objectbox_loss import ObjectBoxLoss as RefLoss
+
+    from cvpytorch_tpu.models.losses.objectbox_loss import ObjectBoxLoss
+
+    rs = np.random.RandomState(seed)
+    B, C = 2, 4
+    grids = [(8, 8), (4, 4), (2, 2)]
+    rows, padded = _rand_targets(rs, B, 3)
+    ours_p, ref_p = _rand_preds(rs, B, grids, 1, 5 + C)
+
+    ref = RefLoss(num_classes=C, device="cpu")
+    ref_total, ref_items = ref(ref_p, to_torch(rows))
+    ref_box, ref_obj, ref_cls = [float(v) for v in ref_items]
+
+    ours = ObjectBoxLoss(num_classes=C)
+    total, items = ours(ours_p, padded)
+
+    np.testing.assert_allclose(float(items["box_loss"]), ref_box, atol=1e-4)
+    np.testing.assert_allclose(float(items["obj_loss"]), ref_obj, atol=1e-4)
+    np.testing.assert_allclose(float(items["cls_loss"]), ref_cls, atol=1e-4)
+    np.testing.assert_allclose(float(total), float(ref_total), rtol=1e-4)
+
+
+def _seg_case(rs, B=2, C=5, H=16, W=16, with_ignore=True):
+    logits = rs.randn(B, H, W, C).astype(np.float32)
+    labels = rs.randint(0, C, (B, H, W)).astype(np.int32)
+    if with_ignore:
+        labels[:, :2, :3] = 255
+    t_logits = to_torch(logits.transpose(0, 3, 1, 2))
+    t_labels = to_torch(labels.astype(np.int64))
+    return jnp.asarray(logits), jnp.asarray(labels), t_logits, t_labels
+
+
+def test_ce2d_matches_reference():
+    from src.losses.seg_loss import CrossEntropyLoss2d as RefCE
+
+    from cvpytorch_tpu.models.losses.seg_loss import cross_entropy_2d
+
+    rs = np.random.RandomState(0)
+    logits, labels, t_logits, t_labels = _seg_case(rs)
+    ref = float(RefCE()(t_logits, t_labels))
+    got = float(cross_entropy_2d(logits, labels))
+    np.testing.assert_allclose(got, ref, rtol=1e-5)
+
+    # weighted variant (per-class dictionary weights, reference UNet path)
+    w = rs.uniform(0.5, 2.0, 5).astype(np.float32)
+    ref_w = float(RefCE(weight=to_torch(w))(t_logits, t_labels))
+    got_w = float(cross_entropy_2d(logits, labels, class_weights=w))
+    np.testing.assert_allclose(got_w, ref_w, rtol=1e-5)
+
+
+def test_dice_matches_reference():
+    from src.losses.seg_loss import DiceLoss as RefDice
+
+    from cvpytorch_tpu.models.losses.seg_loss import dice_loss
+
+    rs = np.random.RandomState(0)
+    logits, labels, t_logits, t_labels = _seg_case(rs, with_ignore=False)
+    ref = float(RefDice()(t_logits, t_labels))
+    got = float(dice_loss(logits, labels))
+    np.testing.assert_allclose(got, ref, rtol=1e-5)
+
+
+def test_lovasz_matches_reference():
+    from src.losses.seg_loss import LovaszSoftmax as RefLovasz
+
+    from cvpytorch_tpu.models.losses.seg_loss import lovasz_softmax
+
+    rs = np.random.RandomState(0)
+    logits, labels, t_logits, t_labels = _seg_case(rs, with_ignore=False)
+    ref = float(RefLovasz()(t_logits, t_labels))
+    got = float(lovasz_softmax(logits, labels))
+    np.testing.assert_allclose(got, ref, rtol=1e-4)
