@@ -6,8 +6,8 @@ Note: the reference backbone's ``build_stage_layer`` is an empty stub
 (yolov7_csp_vovnet.py:46-53), so the stage layout here follows the
 canonical YOLOv7 paper/releases: 3-conv stem → [Down + E-ELAN]×4, SPPCSPC
 bridge, PAN with FeatureFusion blocks, RepConv pre-detect, and the YOLOv5
-anchor-based detect/loss machinery (v7's OTA-aux refinement is a planned
-addition)."""
+anchor-based detect machinery with the SimOTA YOLOv7Loss
+(losses/yolov7_loss.py, reference src/losses/yolov7_loss.py:129)."""
 from __future__ import annotations
 
 from typing import Any, Sequence
@@ -22,7 +22,7 @@ from ..registry import MODELS
 from .backbones.csp_darknet import SIZE_CFG
 from .bricks import ConvBNAct, make_divisible
 from .detects.yolov5_detect import YOLOv5Detect, decode_yolov5
-from .losses.yolov5_loss import YOLOv5Loss
+from .losses.yolov7_loss import YOLOv7Loss
 from .necks.yolov5_neck import upsample2x
 
 _BN = dict(bn_momentum=0.97, bn_eps=1e-3)
@@ -127,7 +127,7 @@ class YOLOv7(nn.Module):
         self.detect = YOLOv5Detect(num_classes=self.num_classes)
         loss_cfg = get("LOSS") or {}
         lget = loss_cfg.get if hasattr(loss_cfg, "get") else (lambda k, d=None: d)
-        self.loss = YOLOv5Loss(
+        self.loss = YOLOv7Loss(
             num_classes=self.num_classes, anchors=V7_ANCHORS,
             strides=STRIDES,
             hyp_box=float(lget("hyp_box", 0.05) or 0.05),
@@ -197,11 +197,11 @@ class YOLOv7(nn.Module):
         raw = self._raw(images, train=train)
         if mode == "train":
             total, losses = self.loss(
-                raw, self._normalized_targets(images, targets))
+                raw, self._normalized_targets(images, targets), images=images)
             return total, {**losses, "loss": total}
         if mode == "val":
             total, losses = self.loss(
-                raw, self._normalized_targets(images, targets))
+                raw, self._normalized_targets(images, targets), images=images)
             return ({**losses, "loss": total},
                     self._predict(images, raw, targets))
         return self._predict(images, raw, targets)

@@ -110,6 +110,34 @@ def test_objectbox_loss_matches_reference(seed):
     np.testing.assert_allclose(float(total), float(ref_total), rtol=1e-4)
 
 
+@pytest.mark.parametrize("seed", [0, 1])
+def test_yolov7_loss_matches_reference(seed):
+    from src.losses.yolov7_loss import YOLOv7Loss as RefLoss
+
+    from cvpytorch_tpu.models.losses.yolov7_loss import YOLOv7Loss
+    from cvpytorch_tpu.models.yolov7 import V7_ANCHORS
+
+    rs = np.random.RandomState(seed)
+    B, C, A = 2, 4, 3
+    img_size = 64
+    grids = [(8, 8), (4, 4), (2, 2)]
+    rows, padded = _rand_targets(rs, B, 3)
+    ours_p, ref_p = _rand_preds(rs, B, grids, A, 5 + C)
+    imgs = torch.zeros(B, 3, img_size, img_size)
+
+    ref = RefLoss(num_classes=C, anchors=V7_ANCHORS, device="cpu")
+    ref_total, ref_items = ref(ref_p, to_torch(rows), imgs)
+    ref_box, ref_obj, ref_cls = [float(v) for v in ref_items[:3]]
+
+    ours = YOLOv7Loss(num_classes=C, anchors=V7_ANCHORS)
+    total, items = ours(ours_p, padded, img_size=float(img_size))
+
+    np.testing.assert_allclose(float(items["box_loss"]), ref_box, atol=2e-4)
+    np.testing.assert_allclose(float(items["obj_loss"]), ref_obj, atol=2e-4)
+    np.testing.assert_allclose(float(items["cls_loss"]), ref_cls, atol=2e-4)
+    np.testing.assert_allclose(float(total), float(ref_total), rtol=1e-3)
+
+
 def _seg_case(rs, B=2, C=5, H=16, W=16, with_ignore=True):
     logits = rs.randn(B, H, W, C).astype(np.float32)
     labels = rs.randint(0, C, (B, H, W)).astype(np.int32)
