@@ -10,6 +10,7 @@ from . import csp_darknet, tinynet  # noqa: F401
 from . import efficientnet, mobilenetv3, convnext, repvgg, misc_backbones  # noqa: F401
 from . import seg_transformers  # noqa: F401
 from . import seg_light  # noqa: F401
+from . import lfd_resnet  # noqa: F401
 
 
 def build_backbone(cfg: dict):
