@@ -38,11 +38,20 @@ def _ranks(x, axis):
 
 def dsl_assign(pred_scores, priors, decoded_boxes, gt_boxes, gt_labels,
                gt_valid, topk: int = 13, iou_factor: float = 3.0):
-    """Single image.  pred_scores (P, C) logits; priors (P, 4) cx,cy,sw,sh;
+    """Single image.  pred_scores (P, C) LOGITS; priors (P, 4) cx,cy,sw,sh;
     decoded_boxes (P, 4) xyxy; gt_boxes (M, 4) xyxy; gt_labels (M,);
     gt_valid (M,) bool.
 
     Returns dict: matched_gt (P,) int (−1 background), matched_iou (P,).
+
+    Reference semantics (dsl_assigner.py:53-160): valid rows are priors
+    whose center lies inside ANY gt; IoU/cost are computed over those rows
+    vs ALL gts unmasked (cross-gt assignment is allowed).  The caller
+    passes ``cls_preds.sigmoid()`` yet the cost applies
+    ``binary_cross_entropy_with_logits`` to it (nanodetplus_head.py:329,
+    dsl_assigner.py:103-104) — that probabilities-as-logits quirk is
+    reproduced exactly here (``x = sigmoid(logits)`` then BCE-with-logits
+    over x).
     """
     from ...ops.boxes import box_iou_matrix
 
@@ -53,22 +62,20 @@ def dsl_assign(pred_scores, priors, decoded_boxes, gt_boxes, gt_labels,
     lt = center[:, None, :] - gt_boxes[None, :, :2]
     rb = gt_boxes[None, :, 2:] - center[:, None, :]
     inside = jnp.concatenate([lt, rb], -1).min(-1) > 0  # (P, M)
-    candidate = inside & gt_valid[None, :]
+    row_valid = (inside & gt_valid[None, :]).any(-1)    # (P,)
 
     ious = box_iou_matrix(decoded_boxes, gt_boxes)  # (P, M)
-    ious = jnp.where(candidate, ious, 0.0)
+    ious = ious * row_valid[:, None] * gt_valid[None, :]
     iou_cost = -jnp.log(ious + 1e-7)
 
     onehot = jax.nn.one_hot(jnp.where(gt_valid, gt_labels, 0), C)  # (M, C)
     soft = onehot[None, :, :] * ious[..., None]  # (P, M, C)
-    sig = jax.nn.sigmoid(pred_scores)[:, None, :]
-    logits = pred_scores[:, None, :]
-    bce = jnp.maximum(logits, 0) - logits * soft + jnp.log1p(
-        jnp.exp(-jnp.abs(logits)))
-    cls_cost = (bce * jnp.abs(soft - sig) ** 2.0).sum(-1)  # (P, M)
+    x = jax.nn.sigmoid(pred_scores)[:, None, :]  # probabilities-as-logits
+    bce = jnp.maximum(x, 0) - x * soft + jnp.log1p(jnp.exp(-jnp.abs(x)))
+    cls_cost = (bce * jnp.abs(soft - x) ** 2.0).sum(-1)  # (P, M)
 
     cost = cls_cost + iou_cost * iou_factor
-    cost = jnp.where(candidate, cost, INF)
+    cost = jnp.where(row_valid[:, None] & gt_valid[None, :], cost, INF)
 
     # dynamic k per gt
     k = min(topk, P)
@@ -77,13 +84,17 @@ def dsl_assign(pred_scores, priors, decoded_boxes, gt_boxes, gt_labels,
 
     # per-gt: select the dynamic_k lowest-cost priors
     rank = _ranks(cost, axis=0)  # (P, M) rank along priors
-    matching = (rank < dynamic_ks[None, :]) & candidate  # (P, M)
+    matching = (rank < dynamic_ks[None, :]) & row_valid[:, None] \
+        & gt_valid[None, :]
 
-    # conflict resolution: prior matched to >1 gt keeps the min-cost one
+    # conflict resolution: prior matched to >1 gt is REASSIGNED to the
+    # min-cost gt over ALL gts — the reference zeroes the row then sets
+    # cost.argmin(dim=1), which may pick a gt outside the original match
+    # (dsl_assigner.py:148-152)
     n_match = matching.sum(-1)
-    best_gt = jnp.argmin(jnp.where(matching, cost, INF), axis=-1)  # (P,)
+    best_gt = jnp.argmin(cost, axis=-1)  # (P,) over all gts
     keep = jnp.zeros_like(matching).at[jnp.arange(P), best_gt].set(True)
-    matching = jnp.where((n_match > 1)[:, None], matching & keep, matching)
+    matching = jnp.where((n_match > 1)[:, None], keep, matching)
 
     fg = matching.any(-1)
     matched_gt = jnp.where(fg, jnp.argmax(matching, axis=-1), -1)

@@ -21,12 +21,22 @@ INF = 1e8
 
 def simota_assign(cls_scores, obj_scores, priors, decoded_boxes, gt_boxes,
                   gt_labels, gt_valid, topk: int = 10,
-                  center_radius: float = 2.5):
+                  center_radius: float = 2.5, soft_label: bool = False):
     """Single image.
 
     cls_scores (P, C) sigmoid probabilities; obj_scores (P,) sigmoid;
     priors (P, 4) = cx, cy, stride, stride; decoded_boxes (P, 4) xyxy;
     gt (M, ...) padded.  Returns matched_gt (P,) and matched_iou (P,).
+
+    The reference ships TWO SimOTA cost variants:
+    * ``soft_label=False`` — YOLOX's ``BCE(sqrt(cls·obj), onehot)``
+      (det/yolox_loss.py:329-332);
+    * ``soft_label=True`` — the mm-style assigner used by GFocalHeadV2:
+      ``BCE(p, onehot·IoU) · |onehot·IoU − p|²``
+      (assigners/ota_assigner.py:448-466).
+    Both: valid priors are those inside ANY gt box or center window; the
+    IoU/dynamic-k statistics are computed over those rows unmasked, and the
+    in-box-AND-center region gets the cost bonus (ota_assigner.py:335).
     """
     P, C = cls_scores.shape
     cx, cy, s = priors[:, 0], priors[:, 1], priors[:, 2]
@@ -40,30 +50,38 @@ def simota_assign(cls_scores, obj_scores, priors, decoded_boxes, gt_boxes,
     r = center_radius * s[:, None]
     in_center = ((jnp.abs(cx[:, None] - gcx[None, :]) < r) &
                  (jnp.abs(cy[:, None] - gcy[None, :]) < r))
-    candidate = (in_box | in_center) & gt_valid[None, :]
-    strong = in_box & in_center  # cost bonus region (reference :382)
+    pair_ok = (in_box | in_center) & gt_valid[None, :]
+    row_valid = pair_ok.any(-1)           # reference valid_mask
+    strong = in_box & in_center           # cost bonus region (reference :335)
 
     ious = box_iou_matrix(decoded_boxes, gt_boxes)
-    ious = jnp.where(candidate, ious, 0.0)
-    iou_cost = -jnp.log(ious + 1e-8)
+    ious = ious * row_valid[:, None] * gt_valid[None, :]
+    iou_cost = -jnp.log(ious + 1e-7)
 
-    joint = jnp.sqrt(jnp.clip(cls_scores, 1e-8) *
-                     jnp.clip(obj_scores, 1e-8)[:, None])  # (P, C)
     onehot = jax.nn.one_hot(jnp.where(gt_valid, gt_labels, 0), C)
-    pred = joint[:, None, :]
-    t = onehot[None, :, :]
-    bce = -(t * jnp.log(pred + 1e-8) + (1 - t) * jnp.log(1 - pred + 1e-8))
-    cls_cost = bce.sum(-1)
+    if soft_label:
+        p = jnp.clip(cls_scores, 1e-7, 1 - 1e-7)[:, None, :]  # (P,1,C)
+        soft = onehot[None, :, :] * ious[..., None]           # (P,M,C)
+        bce = -(soft * jnp.log(p) + (1 - soft) * jnp.log1p(-p))
+        cls_cost = (bce * jnp.abs(soft - p) ** 2.0).sum(-1)
+    else:
+        joint = jnp.sqrt(jnp.clip(cls_scores, 1e-8) *
+                         jnp.clip(obj_scores, 1e-8)[:, None])  # (P, C)
+        pred = joint[:, None, :]
+        t = onehot[None, :, :]
+        bce = -(t * jnp.log(pred + 1e-8) + (1 - t) * jnp.log(1 - pred + 1e-8))
+        cls_cost = bce.sum(-1)
 
-    cost = cls_cost + 3.0 * iou_cost + 1e5 * (~strong).astype(jnp.float32)
-    cost = jnp.where(candidate, cost, INF)
+    cost = cls_cost + 3.0 * iou_cost + INF * (~strong).astype(jnp.float32)
+    cost = jnp.where(row_valid[:, None] & gt_valid[None, :], cost, INF)
 
     k = min(topk, P)
     topk_ious = jax.lax.top_k(ious.T, k)[0]
     dynamic_ks = jnp.clip(topk_ious.sum(-1).astype(jnp.int32), 1, None)
 
     rank = _ranks(cost, axis=0)
-    matching = (rank < dynamic_ks[None, :]) & candidate
+    matching = (rank < dynamic_ks[None, :]) & row_valid[:, None] \
+        & gt_valid[None, :]
 
     n_match = matching.sum(-1)
     best_gt = jnp.argmin(jnp.where(matching, cost, INF), axis=-1)

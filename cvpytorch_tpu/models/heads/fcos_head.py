@@ -156,7 +156,9 @@ def fcos_loss(outs, gt_boxes, gt_labels, gt_valid, num_classes):
     reg_preds = jnp.concatenate([o[2].reshape(B, -1, 4) for o in outs], 1)
 
     pos = cls_t >= 0
-    num_pos = jnp.maximum(pos.sum().astype(jnp.float32), 1.0)
+    # reference normalization: per-image num_pos, mean over the batch
+    # (fcos_loss.py compute_*_loss: loss_i / num_pos_i then .mean())
+    num_pos_i = jnp.maximum(pos.sum(-1).astype(jnp.float32), 1.0)  # (B,)
 
     # focal loss over all locations (alpha 0.25, gamma 2)
     onehot = jax.nn.one_hot(jnp.where(pos, cls_t, 0), num_classes) * \
@@ -167,22 +169,24 @@ def fcos_loss(outs, gt_boxes, gt_labels, gt_valid, num_classes):
     alpha_t = jnp.where(onehot > 0, alpha, 1 - alpha)
     bce = jnp.maximum(cls_logits, 0) - cls_logits * onehot + \
         jnp.log1p(jnp.exp(-jnp.abs(cls_logits)))
-    focal = (alpha_t * (1 - pt) ** gamma * bce).sum() / num_pos
+    focal = ((alpha_t * (1 - pt) ** gamma * bce).sum((1, 2))
+             / num_pos_i).mean()
 
     # centerness BCE on positives
     cnt_bce = jnp.maximum(cnt_logits, 0) - cnt_logits * jnp.clip(cnt_t, 0) + \
         jnp.log1p(jnp.exp(-jnp.abs(cnt_logits)))
-    cnt_loss = (cnt_bce * pos).sum() / num_pos
+    cnt_loss = ((cnt_bce * pos).sum(-1) / num_pos_i).mean()
 
     # GIoU on positives, decoded from ltrb around coords
+    # (reference compute_reg_loss mode='giou': plain sum over positives
+    # per image / num_pos_i, not centerness-weighted)
     x, y = coords[None, :, 0], coords[None, :, 1]
     pb = jnp.stack([x - reg_preds[..., 0], y - reg_preds[..., 1],
                     x + reg_preds[..., 2], y + reg_preds[..., 3]], -1)
     tb = jnp.stack([x - reg_t[..., 0], y - reg_t[..., 1],
                     x + reg_t[..., 2], y + reg_t[..., 3]], -1)
     giou = 1.0 - bbox_iou(pb, tb, iou_type="giou")
-    cnt_w = jnp.clip(cnt_t, 0) * pos
-    reg_loss = (giou * cnt_w).sum() / jnp.maximum(cnt_w.sum(), 1e-6)
+    reg_loss = ((giou * pos).sum(-1) / num_pos_i).mean()
 
     total = focal + cnt_loss + reg_loss
     return total, {"cls_loss": focal, "cnt_loss": cnt_loss,

@@ -129,7 +129,7 @@ def gflv2_loss(cls_probs, reg_logits, priors, targets, num_classes,
     assign = jax.vmap(
         lambda sc, db, gb, gl, gv: simota_assign(
             sc, jnp.ones(P), priors, db, gb, gl, gv, topk=10,
-            center_radius=2.5)
+            center_radius=2.5, soft_label=True)
     )(jax.lax.stop_gradient(cls_probs), jax.lax.stop_gradient(decoded),
       targets["boxes"], targets["labels"], targets["valid"])
     matched_gt = assign["matched_gt"]

@@ -138,6 +138,59 @@ def test_yolov7_loss_matches_reference(seed):
     np.testing.assert_allclose(float(total), float(ref_total), rtol=1e-3)
 
 
+@pytest.mark.parametrize("seed", [0, 1])
+def test_fcos_loss_matches_reference(seed):
+    from src.losses.fcos_loss import FCOSLoss as RefLoss
+
+    from cvpytorch_tpu.models.heads.fcos_head import fcos_loss
+
+    rs = np.random.RandomState(seed)
+    B, C, M = 2, 4, 5
+    img = 128
+    grids = [(16, 16), (8, 8), (4, 4), (2, 2), (1, 1)]
+    # gts in pixels, well separated, mixed sizes to hit several levels
+    boxes = np.full((B, M, 4), -1.0, np.float32)
+    labels = np.full((B, M), -1, np.int64)
+    n_per = 3
+    protos = [(5, 5, 40, 45), (60, 10, 120, 80), (10, 70, 50, 120)]
+    for b in range(B):
+        for t in range(n_per):
+            x1, y1, x2, y2 = protos[t]
+            j = rs.uniform(-3, 3, 4)
+            boxes[b, t] = np.clip(
+                [x1 + j[0], y1 + j[1], x2 + j[2], y2 + j[3]], 0, img - 1)
+            labels[b, t] = rs.randint(0, C)
+    valid = labels >= 0
+
+    cls_o, cls_t = [], []
+    cnt_o, cnt_t = [], []
+    reg_o, reg_t = [], []
+    for (h, w) in grids:
+        c = rs.randn(B, h, w, C).astype(np.float32)
+        n = rs.randn(B, h, w, 1).astype(np.float32)
+        r = np.exp(rs.randn(B, h, w, 4).astype(np.float32))  # positive ltrb
+        cls_o.append(jnp.asarray(c)); cls_t.append(to_torch(c.transpose(0, 3, 1, 2)))
+        cnt_o.append(jnp.asarray(n)); cnt_t.append(to_torch(n.transpose(0, 3, 1, 2)))
+        reg_o.append(jnp.asarray(r)); reg_t.append(to_torch(r.transpose(0, 3, 1, 2)))
+
+    ref = RefLoss()
+    # reference one-hot compares labels against arange(1, C+1) → 1-based
+    ref_cls, ref_cnt, ref_reg, ref_total = ref(
+        (cls_t, cnt_t, reg_t), to_torch(boxes),
+        to_torch(np.where(valid, labels + 1, -1)))
+
+    outs = [(c, n, r) for c, n, r in zip(cls_o, cnt_o, reg_o)]
+    total, items = fcos_loss(outs, jnp.asarray(boxes),
+                             jnp.asarray(np.where(valid, labels, 0)),
+                             jnp.asarray(valid), C)
+    np.testing.assert_allclose(float(items["cls_loss"]), float(ref_cls),
+                               rtol=2e-4, atol=1e-5)
+    np.testing.assert_allclose(float(items["cnt_loss"]), float(ref_cnt),
+                               rtol=2e-4, atol=1e-5)
+    np.testing.assert_allclose(float(items["reg_loss"]), float(ref_reg),
+                               rtol=2e-4, atol=1e-5)
+
+
 def _seg_case(rs, B=2, C=5, H=16, W=16, with_ignore=True):
     logits = rs.randn(B, H, W, C).astype(np.float32)
     labels = rs.randint(0, C, (B, H, W)).astype(np.int32)
