@@ -1,9 +1,12 @@
 """UNet semantic segmentation (reference: src/models/unet.py:91-165).
 
-Self-contained encoder/decoder; loss = per-class-weighted CE2d with
-optional dice/focal/lovasz extras chosen by model_cfg LOSS.  The
-reference's hard-coded ``.cuda()`` weight tensors (unet.py:112-117) are
-deliberately not replicated (SURVEY §7.4)."""
+Architecture matches the reference exactly: DoubleConv stem (3→64),
+four conv-then-pool DownConv stages (128/256/512/512), four UpConv stages
+with bilinear align_corners=True ×2 upsampling (UpConv bilinear=True
+default, unet.py:66-74) and skip concat, 1×1 outconv.  Loss =
+per-class-weighted CE2d with optional dice/focal/lovasz extras chosen by
+model_cfg LOSS.  The reference's hard-coded ``.cuda()`` weight tensors
+(unet.py:112-117) are deliberately not replicated (SURVEY §7.4)."""
 from __future__ import annotations
 
 from typing import Any, Sequence
@@ -17,13 +20,34 @@ from ..registry import MODELS
 from .losses.seg_loss import build_seg_loss, cross_entropy_2d
 
 
+def upsample2x_bilinear_align(x):
+    """×2 bilinear upsample with torch align_corners=True semantics:
+    out[i] maps to in position i·(H−1)/(2H−1)."""
+    b, h, w, c = x.shape
+
+    def axis_weights(n_in, n_out):
+        pos = jnp.arange(n_out) * (n_in - 1) / max(n_out - 1, 1)
+        lo = jnp.floor(pos).astype(jnp.int32)
+        hi = jnp.minimum(lo + 1, n_in - 1)
+        whi = pos - lo
+        return lo, hi, whi.astype(x.dtype)
+
+    lo_y, hi_y, wy = axis_weights(h, 2 * h)
+    lo_x, hi_x, wx = axis_weights(w, 2 * w)
+    top = x[:, lo_y] * (1 - wy)[None, :, None, None] + \
+        x[:, hi_y] * wy[None, :, None, None]
+    out = top[:, :, lo_x] * (1 - wx)[None, None, :, None] + \
+        top[:, :, hi_x] * wx[None, None, :, None]
+    return out
+
+
 class DoubleConv(nn.Module):
     out_channels: int
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         for i in range(2):
-            x = nn.Conv(self.out_channels, (3, 3), padding=1, use_bias=False,
+            x = nn.Conv(self.out_channels, (3, 3), padding=1,
                         name=f"conv{i}")(x)
             x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                              epsilon=1e-5, name=f"bn{i}")(x)
@@ -36,37 +60,41 @@ class UNet(nn.Module):
     dictionary: Sequence[Any] = ()
     model_cfg: Any = None
     base_channels: int = 64
-    depth: int = 4
+    depth: int = 4  # reference fixed plan = depth 4 (unet.py:100-109)
 
     def setup(self):
         names, weights = dictionary_to_names_weights(list(self.dictionary))
         self._class_weights = tuple(weights)
         self.num_classes = len(names)
-        chs = [self.base_channels * (2 ** i) for i in range(self.depth + 1)]
-        self.enc = [DoubleConv(c, name=f"enc{i}") for i, c in enumerate(chs)]
-        self.dec = [DoubleConv(c, name=f"dec{i}")
-                    for i, c in enumerate(reversed(chs[:-1]))]
-        self.up = [nn.ConvTranspose(c, (2, 2), strides=(2, 2), name=f"up{i}")
-                   for i, c in enumerate(reversed(chs[:-1]))]
-        self.head = nn.Conv(self.num_classes, (1, 1), name="head")
+        b, d = self.base_channels, self.depth
+        # generalizes the reference plan 64/128/256/512/512 → 256/128/64/64:
+        # down_i = b·2^min(i, d−1), up_i mirrors with the last two equal
+        self.conv = DoubleConv(b, name="conv")
+        self.downs = [
+            DoubleConv(b * 2 ** min(i, d - 1), name=f"down{i}")
+            for i in range(1, d + 1)
+        ]
+        up_chs = [b * 2 ** max(d - 2 - i, 0) for i in range(d)]
+        self.ups = [DoubleConv(c, name=f"up{i + 1}")
+                    for i, c in enumerate(up_chs)]
+        self.outconv = nn.Conv(self.num_classes, (1, 1), name="outconv")
 
         loss_cfg = (self.model_cfg.get("LOSS") if self.model_cfg else None) or {}
         extra = loss_cfg.get("EXTRA") if hasattr(loss_cfg, "get") else None
         self._extra_loss = build_seg_loss(extra) if extra else None
 
     def forward_logits(self, images, train: bool):
-        x = images
-        skips = []
-        for i, enc in enumerate(self.enc):
-            x = enc(x, train)
-            if i < self.depth:
-                skips.append(x)
-                x = nn.max_pool(x, (2, 2), strides=(2, 2))
-        for up, dec, skip in zip(self.up, self.dec, reversed(skips)):
-            x = up(x)
-            x = jnp.concatenate([skip, x], axis=-1)
-            x = dec(x, train)
-        return self.head(x)
+        pool = lambda t: nn.max_pool(t, (2, 2), strides=(2, 2))
+        skips = [self.conv(images, train)]
+        for down in self.downs:
+            skips.append(pool(down(skips[-1], train)))
+        xx = skips.pop()
+        for up_block in self.ups:
+            skip = skips.pop()
+            x = upsample2x_bilinear_align(xx)
+            # reference pads to the skip's size; with even inputs they match
+            xx = up_block(jnp.concatenate([skip, x], axis=-1), train)
+        return self.outconv(xx)
 
     def __call__(self, images, targets=None, mode: str = "infer"):
         logits = self.forward_logits(images, train=(mode == "train"))

@@ -132,3 +132,50 @@ CONVBNACT_RULES = [
     (r"(.*)\.conv", r"\1/conv"),
     (r"(.*)\.bn", r"\1/bn"),
 ]
+
+# reference src/models/unet.py:91-109 → cvpytorch_tpu/models/unet.py
+UNET_RULES = [
+    (r".*criterion.*", r""),  # loss-module buffers (class weights) — drop
+    (r"conv\.double_conv\.(\d)\.0", r"conv/conv\1"),
+    (r"conv\.double_conv\.(\d)\.1", r"conv/bn\1"),
+    (r"(down\d)\.double_conv\.double_conv\.(\d)\.0", r"\1/conv\2"),
+    (r"(down\d)\.double_conv\.double_conv\.(\d)\.1", r"\1/bn\2"),
+    (r"(up\d)\.conv\.double_conv\.(\d)\.0", r"\1/conv\2"),
+    (r"(up\d)\.conv\.double_conv\.(\d)\.1", r"\1/bn\2"),
+    (r"outconv", r"outconv"),
+]
+
+# reference src/models/backbones/resnet.py:46-110 wrapper (stem = Sequential
+# (conv1, bn1, relu); layer1..4 from torchvision) → backbones/resnet.py
+RESNET_WRAPPER_RULES = [
+    (r"stem\.0", r"stem_conv"),
+    (r"stem\.1", r"stem_bn"),
+    (r"layer(\d)\.(\d+)\.conv(\d)", r"layer\1_block\2/conv\3"),
+    (r"layer(\d)\.(\d+)\.bn(\d)", r"layer\1_block\2/bn\3"),
+    (r"layer(\d)\.(\d+)\.downsample\.0", r"layer\1_block\2/ds_conv"),
+    (r"layer(\d)\.(\d+)\.downsample\.1", r"layer\1_block\2/ds_bn"),
+    (r"fc", r"fc"),
+]
+
+# reference src/models/backbones/mobilenet_v2.py:41-52 wrapper (stages slice
+# torchvision features) → backbones/mobilenetv2.py
+MBV2_WRAPPER_RULES = [
+    (r"stem\.0\.0", r"stem/conv"),
+    (r"stem\.0\.1", r"stem/bn"),
+    # group 1 has expand_ratio 1 → conv = [dw-ConvBNReLU, pw, bn]
+    (r"stage1\.0\.conv\.0\.0", r"stage1_block0/dw/conv"),
+    (r"stage1\.0\.conv\.0\.1", r"stage1_block0/dw/bn"),
+    (r"stage1\.0\.conv\.1", r"stage1_block0/project/conv"),
+    (r"stage1\.0\.conv\.2", r"stage1_block0/project/bn"),
+    # groups 2-7: conv = [expand, dw, pw, bn]
+    (r"stage(\d)\.(\d+)\.conv\.0\.0", r"stage\1_block\2/expand/conv"),
+    (r"stage(\d)\.(\d+)\.conv\.0\.1", r"stage\1_block\2/expand/bn"),
+    (r"stage(\d)\.(\d+)\.conv\.1\.0", r"stage\1_block\2/dw/conv"),
+    (r"stage(\d)\.(\d+)\.conv\.1\.1", r"stage\1_block\2/dw/bn"),
+    (r"stage(\d)\.(\d+)\.conv\.2", r"stage\1_block\2/project/conv"),
+    (r"stage(\d)\.(\d+)\.conv\.3", r"stage\1_block\2/project/bn"),
+    (r"last_conv\.0\.0", r"head_conv/conv"),
+    (r"last_conv\.0\.1", r"head_conv/bn"),
+    (r"fc\.1", r"fc"),
+    (r"fc\.0", r""),  # dropout has no params; defensive
+]

@@ -184,12 +184,57 @@ def _torch16_compat_shims():
     torch.Tensor.clamp_ = clamp_compat
 
     # hard-coded torch.cuda.FloatTensor constructors (seg_loss.py:19,330)
-    # → CPU equivalents on the CUDA-less in-tree torch
+    # and .cuda() calls inside model constructors (unet.py:112-117) →
+    # CPU no-ops on the CUDA-less in-tree torch
     if not torch.cuda.is_available():
         torch.cuda.FloatTensor = torch.FloatTensor
+        torch.nn.Module.cuda = lambda self, *a, **k: self
+        torch.Tensor.cuda = lambda self, *a, **k: self
 
 
 _DONE = False
+
+
+class _StubFinder:
+    """Auto-creates empty stub modules for any torchvision.* submodule not
+    explicitly provided (the reference's backbone zoo imports ~15 of them;
+    their symbols raise only if actually used)."""
+
+    class _Lazy:
+        def __init__(self, name):
+            self._name = name
+
+        def __call__(self, *a, **k):
+            raise RuntimeError(f"torchvision stub symbol used: {self._name}")
+
+        def __getitem__(self, k):  # model_urls dict lookups
+            return ""
+
+        def get(self, *a, **k):
+            return ""
+
+    def find_spec(self, fullname, path=None, target=None):
+        import importlib.machinery
+
+        if not fullname.startswith("torchvision."):
+            return None
+        return importlib.machinery.ModuleSpec(
+            fullname, self, is_package=True)
+
+    def create_module(self, spec):
+        mod = types.ModuleType(spec.name)
+        mod.__path__ = []
+
+        def _getattr(name, _full=spec.name):
+            if name.startswith("__"):
+                raise AttributeError(name)
+            return _StubFinder._Lazy(f"{_full}.{name}")
+
+        mod.__getattr__ = _getattr
+        return mod
+
+    def exec_module(self, module):
+        pass
 
 
 def setup_reference():
@@ -203,6 +248,8 @@ def setup_reference():
     stubs.update(_make_pycocotools())
     for name, mod in stubs.items():
         sys.modules.setdefault(name, mod)
+        mod.__path__ = getattr(mod, "__path__", [])
+    sys.meta_path.append(_StubFinder())
     if REFERENCE_ROOT not in sys.path:
         sys.path.insert(0, REFERENCE_ROOT)
     _torch16_compat_shims()
