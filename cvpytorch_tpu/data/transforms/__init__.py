@@ -26,6 +26,10 @@ def _get_namespace(task: str) -> dict:
         from .det_transforms import DET_TRANSFORMS
 
         return DET_TRANSFORMS
+    if task == "keypoint":
+        from .keypoint_transforms import KEYPOINT_TRANSFORMS
+
+        return KEYPOINT_TRANSFORMS
     raise KeyError(f"no transform namespace for task {task!r}")
 
 

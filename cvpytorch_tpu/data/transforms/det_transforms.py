@@ -139,6 +139,10 @@ def random_perspective(img, boxes, labels, degrees=0.0, translate=0.1,
     C = np.eye(3)
     C[0, 2] = -img.shape[1] / 2
     C[1, 2] = -img.shape[0] / 2
+    P = np.eye(3)
+    P[2, 0] = _range(perspective)
+    P[2, 1] = _range(perspective)
+    use_persp = (P[2, 0] != 0.0) or (P[2, 1] != 0.0)
     R = np.eye(3)
     a = _range(degrees)
     s = _range(scale, center=1.0) if not isinstance(scale, (list, tuple)) \
@@ -150,16 +154,21 @@ def random_perspective(img, boxes, labels, degrees=0.0, translate=0.1,
     T = np.eye(3)
     T[0, 2] = _range(translate, center=0.5) * width
     T[1, 2] = _range(translate, center=0.5) * height
-    M = T @ S @ R @ C
+    M = T @ S @ R @ P @ C
     if (border[0] != 0) or (border[1] != 0) or (M != np.eye(3)).any():
-        img = cv2.warpAffine(img, M[:2], dsize=(width, height),
-                             borderValue=fill)
+        if use_persp:
+            img = cv2.warpPerspective(img, M, dsize=(width, height),
+                                      borderValue=fill)
+        else:
+            img = cv2.warpAffine(img, M[:2], dsize=(width, height),
+                                 borderValue=fill)
     n = len(boxes)
     if n:
         xy = np.ones((n * 4, 3))
         xy[:, :2] = boxes[:, [0, 1, 2, 3, 0, 3, 2, 1]].reshape(n * 4, 2)
         xy = xy @ M.T
-        xy = xy[:, :2].reshape(n, 8)
+        xy = (xy[:, :2] / xy[:, 2:3] if use_persp
+              else xy[:, :2]).reshape(n, 8)
         x = xy[:, [0, 2, 4, 6]]
         y = xy[:, [1, 3, 5, 7]]
         new = np.stack([x.min(1), y.min(1), x.max(1), y.max(1)], 1)
@@ -177,7 +186,7 @@ class RandomAffine:
                  shear=0.0, perspective=0.0):
         self.p = p
         self.kw = dict(degrees=degrees, translate=translate, scale=scale,
-                       shear=shear)
+                       shear=shear, perspective=perspective)
 
     def __call__(self, sample):
         if random.random() >= self.p:
@@ -208,7 +217,9 @@ class RandomAffineWithMosaic(RandomAffine):
     def __call__(self, samples):
         if isinstance(samples, dict):
             return super().__call__(samples)
-        assert len(samples) == 4, "mosaic requires LOAD_NUM=4 samples"
+        if len(samples) == 9:
+            return self._mosaic9(samples)
+        assert len(samples) == 4, "mosaic requires LOAD_NUM in (4, 9)"
         sh, sw = self.size
         yc = int(random.uniform(sh // 2, 2 * sh - sh // 2))
         xc = int(random.uniform(sw // 2, 2 * sw - sw // 2))
@@ -246,6 +257,74 @@ class RandomAffineWithMosaic(RandomAffine):
         img, boxes, labels = random_perspective(
             canvas, boxes, labels, border=(-sh // 2, -sw // 2),
             fill=self.fill, **self.kw)
+        target = {"boxes": boxes.astype(np.float32),
+                  "labels": labels.astype(np.int64),
+                  "pads": np.array([0.0, 0.0], np.float32),
+                  "scales": np.array([1.0, 1.0], np.float32)}
+        return {"image": img, "target": target}
+
+    def _mosaic9(self, samples):
+        """Nine-image mosaic on a 3s×3s canvas, cropped to 2s×2s
+        (reference: det_transforms.py:957-1027 — spiral placement order:
+        center, top, top-right, right, bottom-right, bottom, bottom-left,
+        left, top-left)."""
+        sh, sw = self.size
+        canvas = None
+        all_boxes, all_labels = [], []
+        h0 = w0 = hp = wp = 0
+        for i, s in enumerate(samples):
+            img = s["image"]
+            ih, iw = img.shape[:2]
+            r = min(sh / ih, sw / iw)
+            h, w = int(round(ih * r)), int(round(iw * r))
+            if (ih, iw) != (h, w):
+                img = cv2.resize(img, (w, h), interpolation=cv2.INTER_LINEAR
+                                 if r > 1 else cv2.INTER_AREA)
+            if i == 0:  # center
+                canvas = np.full((sh * 3, sw * 3, 3), self.fill[0], np.uint8)
+                h0, w0 = h, w
+                c = sw, sh, sw + w, sh + h
+            elif i == 1:  # top
+                c = sw, sh - h, sw + w, sh
+            elif i == 2:  # top right
+                c = sw + wp, sh - h, sw + wp + w, sh
+            elif i == 3:  # right
+                c = sw + w0, sh, sw + w0 + w, sh + h
+            elif i == 4:  # bottom right
+                c = sw + w0, sh + hp, sw + w0 + w, sh + hp + h
+            elif i == 5:  # bottom
+                c = sw + w0 - w, sh + h0, sw + w0, sh + h0 + h
+            elif i == 6:  # bottom left
+                c = sw + w0 - wp - w, sh + h0, sw + w0 - wp, sh + h0 + h
+            elif i == 7:  # left
+                c = sw - w, sh + h0 - h, sw, sh + h0
+            else:  # top left
+                c = sw - w, sh + h0 - hp - h, sw, sh + h0 - hp
+            padw, padh = c[0], c[1]
+            x1, y1, x2, y2 = (max(v, 0) for v in c)
+            canvas[y1:y2, x1:x2] = img[y1 - padh:y1 - padh + (y2 - y1),
+                                       x1 - padw:x1 - padw + (x2 - x1)]
+            t = s.get("target")
+            if t is not None and len(t["boxes"]):
+                b = t["boxes"].astype(np.float64) * r
+                b[:, [0, 2]] += padw
+                b[:, [1, 3]] += padh
+                all_boxes.append(b)
+                all_labels.append(t["labels"])
+            hp, wp = h, w
+        yc = int(random.uniform(0, sh))
+        xc = int(random.uniform(0, sw))
+        canvas = canvas[yc:yc + 2 * sh, xc:xc + 2 * sw]
+        boxes = (np.concatenate(all_boxes, 0) if all_boxes
+                 else np.zeros((0, 4), np.float64))
+        labels = (np.concatenate(all_labels, 0) if all_labels
+                  else np.zeros((0,), np.int64))
+        if len(boxes):
+            boxes[:, [0, 2]] = (boxes[:, [0, 2]] - xc).clip(0, 2 * sw)
+            boxes[:, [1, 3]] = (boxes[:, [1, 3]] - yc).clip(0, 2 * sh)
+        img, boxes, labels = random_perspective(
+            canvas, boxes.astype(np.float32), labels,
+            border=(-sh // 2, -sw // 2), fill=self.fill, **self.kw)
         target = {"boxes": boxes.astype(np.float32),
                   "labels": labels.astype(np.int64),
                   "pads": np.array([0.0, 0.0], np.float32),
@@ -318,6 +397,98 @@ class RandomGrayscale:
         if random.random() < self.p:
             g = cv2.cvtColor(sample["image"], cv2.COLOR_BGR2GRAY)
             sample["image"] = cv2.cvtColor(g, cv2.COLOR_GRAY2BGR)
+        return sample
+
+
+class RandomGamma:
+    """LUT gamma jitter (reference: det_transforms.py:1323)."""
+
+    def __init__(self, p=0.01, gamma_limit=(80, 120)):
+        self.p, self.gamma_limit = p, gamma_limit
+
+    def __call__(self, sample):
+        if random.random() < self.p:
+            img = sample["image"]
+            gamma = random.randint(*[int(g) for g in self.gamma_limit]) / 100.0
+            if img.dtype == np.uint8:
+                table = (np.arange(0, 256.0 / 255, 1.0 / 255) ** gamma) * 255
+                img = cv2.LUT(img, table.astype(np.uint8))
+            else:
+                img = np.power(img, gamma)
+            sample["image"] = img
+        return sample
+
+
+class EqualizeHist:
+    """Per-channel histogram equalization (reference: det_transforms.py:1341)."""
+
+    def __init__(self, p=0.01):
+        self.p = p
+
+    def __call__(self, sample):
+        if random.random() < self.p:
+            img = sample["image"]
+            if img.ndim == 2:
+                img = cv2.equalizeHist(img)
+            else:
+                img = cv2.merge([cv2.equalizeHist(c) for c in cv2.split(img)])
+            sample["image"] = img
+        return sample
+
+
+class CLAHE:
+    """Contrast-limited adaptive hist-eq on the LAB L channel
+    (reference: det_transforms.py:1352)."""
+
+    def __init__(self, p=0.01, clip_limit=(1.0, 4.0), tile_grid_size=(8, 8)):
+        self.p = p
+        self.clip_limit = clip_limit if isinstance(clip_limit, (list, tuple)) \
+            else (1.0, float(clip_limit))
+        self.tile_grid_size = tuple(tile_grid_size)
+
+    def __call__(self, sample):
+        if random.random() < self.p:
+            img = sample["image"]
+            clip = random.uniform(*self.clip_limit)
+            mat = cv2.createCLAHE(clipLimit=clip,
+                                  tileGridSize=self.tile_grid_size)
+            if img.ndim == 2 or img.shape[2] == 1:
+                img = mat.apply(img)
+            else:
+                lab = cv2.cvtColor(img, cv2.COLOR_BGR2LAB)
+                lab[:, :, 0] = mat.apply(lab[:, :, 0])
+                img = cv2.cvtColor(lab, cv2.COLOR_LAB2BGR)
+            sample["image"] = img
+        return sample
+
+
+class RandomFog:
+    """Radial fog: out = img·e^{−t·d} + brightness·(1−e^{−t·d}) with d a
+    centred distance field (reference: det_transforms.py:1374-1443,
+    high-efficiency matrix path)."""
+
+    def __init__(self, p=0.1, brightness=(0.1, 0.9), thickness=(0.01, 0.09)):
+        self.p = p
+        self.brightness = brightness
+        self.thickness = thickness
+
+    def __call__(self, sample):
+        if random.random() >= self.p:
+            return sample
+        img = sample["image"]
+        br = float(np.clip(0.2 * np.random.randn() + 0.5,
+                           self.brightness[0], self.brightness[1]))
+        th = float(np.clip(0.01 * np.random.randn() + 0.05,
+                           self.thickness[0], self.thickness[1]))
+        x = img.astype(np.float32) / 255.0
+        h, w = x.shape[:2]
+        size = math.sqrt(max(h, w))
+        yy = np.arange(h, dtype=np.float32)[:, None] - h // 2
+        xx = np.arange(w, dtype=np.float32)[None, :] - w // 2
+        d = -0.04 * np.sqrt(yy * yy + xx * xx) + size
+        td = np.exp(-th * d)[..., None]
+        x = np.clip(x * td + br * (1.0 - td), 0.0, 1.0)
+        sample["image"] = (x * 255).astype(np.uint8)
         return sample
 
 
@@ -433,6 +604,10 @@ DET_TRANSFORMS = {
     "GaussianBlur": GaussianBlur,
     "MedianBlur": MedianBlur,
     "RandomGrayscale": RandomGrayscale,
+    "RandomGamma": RandomGamma,
+    "EqualizeHist": EqualizeHist,
+    "CLAHE": CLAHE,
+    "RandomFog": RandomFog,
     "Cutout": Cutout,
     "MixUp": MixUp,
     "CopyPaste": CopyPaste,

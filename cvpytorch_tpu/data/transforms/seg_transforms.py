@@ -222,8 +222,126 @@ class Normalize(_ImgNormalize):
     pass
 
 
+# ---------------------------------------------------------------- RandAugment
+# (reference: seg_transforms.py:803-945 — PIL ops; affine ops are applied to
+# the label map too, NEAREST + ignore fill)
+
+_POSTERIZE_MIN = 1
+_WARP = {"fillcolor": (128, 128, 128), "resample": None}
+
+
+def _affine_warp(im, data):
+    from PIL import Image
+
+    return im.transform(im.size, Image.AFFINE, data, **_WARP)
+
+
+def _op_functions():
+    from PIL import ImageEnhance, ImageOps
+
+    return {
+        "auto_contrast": lambda x, _: ImageOps.autocontrast(x),
+        "equalize": lambda x, _: ImageOps.equalize(x),
+        "invert": lambda x, _: ImageOps.invert(x),
+        "rotate": lambda x, v: x.rotate(v, **_WARP),
+        "posterize": lambda x, v: ImageOps.posterize(
+            x, max(_POSTERIZE_MIN, int(v))),
+        "posterize_inc": lambda x, v: ImageOps.posterize(
+            x, max(_POSTERIZE_MIN, 4 - int(v))),
+        "solarize": lambda x, v: x.point(
+            lambda i: i if i < int(v) else 255 - i),
+        "solarize_inc": lambda x, v: x.point(
+            lambda i: i if i < 256 - v else 255 - i),
+        "solarize_add": lambda x, v: x.point(
+            lambda i: min(255, int(v) + i) if i < 128 else i),
+        "color_inc": lambda x, v: ImageEnhance.Color(x).enhance(1 + v),
+        "contrast_inc": lambda x, v: ImageEnhance.Contrast(x).enhance(1 + v),
+        "brightness_inc": lambda x, v:
+            ImageEnhance.Brightness(x).enhance(1 + v),
+        "sharpness_inc": lambda x, v:
+            ImageEnhance.Sharpness(x).enhance(1 + v),
+        "shear_x": lambda x, v: _affine_warp(x, (1, v, 0, 0, 1, 0)),
+        "shear_y": lambda x, v: _affine_warp(x, (1, 0, 0, v, 1, 0)),
+        "trans_x": lambda x, v: _affine_warp(x, (1, 0, v * x.size[0],
+                                                 0, 1, 0)),
+        "trans_y": lambda x, v: _affine_warp(x, (1, 0, 0,
+                                                 0, 1, v * x.size[1])),
+    }
+
+
+_AFFINE_OPS = ("rotate", "shear_x", "shear_y", "trans_x", "trans_y")
+
+_OP_RANGES = {
+    "auto_contrast": (0, 1, False), "equalize": (0, 1, False),
+    "invert": (0, 1, False), "rotate": (0.0, 30.0, True),
+    "posterize": (0, 4, False), "posterize_inc": (0, 4, False),
+    "solarize": (0, 256, False), "solarize_inc": (0, 256, False),
+    "solarize_add": (0, 110, False),
+    "color_inc": (0, 0.9, True), "contrast_inc": (0, 0.9, True),
+    "brightness_inc": (0, 0.9, True), "sharpness_inc": (0, 0.9, True),
+    "shear_x": (0.0, 0.3, True), "shear_y": (0.0, 0.3, True),
+    "trans_x": (0.0, 0.45, True), "trans_y": (0.0, 0.45, True),
+}
+
+RANDAUG_OPS = [
+    "auto_contrast", "equalize", "rotate", "posterize_inc", "solarize_inc",
+    "solarize_add", "color_inc", "contrast_inc", "brightness_inc",
+    "sharpness_inc", "shear_x", "shear_y", "trans_x", "trans_y",
+]
+
+RANDAUG_OPS_REDUCED = [
+    "auto_contrast", "equalize", "rotate", "color_inc", "contrast_inc",
+    "brightness_inc", "sharpness_inc",
+]
+
+
+class RandAugment:
+    """RandAugment (arXiv:1909.13719) for image+mask pairs
+    (reference: seg_transforms.py:896-945)."""
+
+    def __init__(self, p=1.0, n_ops=2, magnitude=0.5, ops="reduced",
+                 fill=(0, 0, 0), ignore_value=255):
+        assert 0 <= magnitude <= 1
+        self.p = p
+        self.n_ops = int(n_ops)
+        self.magnitude = magnitude
+        self.fill = tuple(fill) if isinstance(fill, (list, tuple)) else (fill,) * 3
+        self.ignore_value = ignore_value
+        if ops == "full":
+            self.ops = RANDAUG_OPS
+        elif ops in ("reduced", None):
+            self.ops = RANDAUG_OPS_REDUCED
+        else:
+            self.ops = list(ops)
+
+    def __call__(self, sample):
+        from PIL import Image
+
+        img, target = sample["image"], sample["target"]
+        fns = _op_functions()
+        for op in random.sample(self.ops, self.n_ops):
+            if self.p < 1 and random.random() > self.p:
+                continue
+            pil_img = Image.fromarray(img.astype(np.uint8))
+            pil_tgt = Image.fromarray(target.astype(np.uint8))
+            min_v, max_v, negate = _OP_RANGES[op]
+            v = self.magnitude * (max_v - min_v) + min_v
+            v = -v if negate and random.random() > 0.5 else v
+            _WARP["fillcolor"] = self.fill
+            _WARP["resample"] = Image.BILINEAR
+            pil_img = fns[op](pil_img, v)
+            if op in _AFFINE_OPS:
+                _WARP["fillcolor"] = self.ignore_value
+                _WARP["resample"] = Image.NEAREST
+                pil_tgt = fns[op](pil_tgt, v)
+            img = np.asarray(pil_img)
+            target = np.asarray(pil_tgt)
+        return {"image": img, "target": target}
+
+
 SEG_TRANSFORMS = {
     "Resize": Resize,
+    "RandAugment": RandAugment,
     "RandomHorizontalFlip": RandomHorizontalFlip,
     "RandomScaleCrop": RandomScaleCrop,
     "RandomScaleResize": RandomScaleResize,
