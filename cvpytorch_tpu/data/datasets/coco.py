@@ -72,12 +72,48 @@ class CocoDetection(Dataset):
         if not self.items:
             raise RuntimeError(f"no usable images in {ann_file}")
 
+        # RAM cache (reference coco.py:143-169: threaded decode of the whole
+        # split, persisted next to the image dir keyed by a path hash) —
+        # needed to feed a 500+ img/s train step from JPEGs
+        self._cache = None
+        if bool(getattr(data_cfg, "CACHE", None)):
+            self._cache = self._cache_images()
+
+    def _cache_images(self):
+        import hashlib
+        from concurrent.futures import ThreadPoolExecutor
+
+        paths = [os.path.join(self.img_dir, it["file_name"])
+                 for it in self.items]
+        h = hashlib.md5("".join(paths).encode()).hexdigest()
+        cache_path = os.path.join(
+            os.path.dirname(os.path.abspath(self.img_dir)),
+            f"{self.stage}_{h[:12]}.cache.npy")
+        if os.path.isfile(cache_path):
+            blob = np.load(cache_path, allow_pickle=True).item()
+            if blob.get("hash") == h:
+                return blob["images"]
+        with ThreadPoolExecutor(max_workers=8) as pool:
+            images = list(pool.map(cv2.imread, paths))
+        for p, im in zip(paths, images):
+            if im is None:
+                raise IOError(f"failed to read {p}")
+        try:
+            np.save(cache_path, {"hash": h, "images": images},
+                    allow_pickle=True)
+        except OSError:
+            pass  # cache dir not writable — RAM cache still active
+        return images
+
     def __len__(self):
         return len(self.items)
 
     def _load_one(self, idx: int) -> dict:
         item = self.items[idx]
-        img = cv2.imread(os.path.join(self.img_dir, item["file_name"]))
+        if self._cache is not None:
+            img = self._cache[idx].copy()   # transforms mutate in place
+        else:
+            img = cv2.imread(os.path.join(self.img_dir, item["file_name"]))
         if img is None:
             raise IOError(f"failed to read {item['file_name']}")
         boxes, labels = [], []

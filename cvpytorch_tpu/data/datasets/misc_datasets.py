@@ -118,6 +118,73 @@ class VisDroneDetection(Dataset):
         return sample
 
 
+@DATASETS.register(name="VisDroneTrack")
+class VisDroneTrack(Dataset):
+    """VisDrone-MOT sequences (reference: visdrone.py:190 — an unfinished
+    stub there; functional here).  Layout::
+
+        IMG_DIR/sequences/<seq>/0000001.jpg …
+        IMG_DIR/annotations/<seq>.txt   lines:
+            frame,target_id,x,y,w,h,score,category,truncation,occlusion
+
+    Each item is one frame's detections; ``track_ids`` carries the MOT
+    identity so a tracker head can consume consecutive frames."""
+
+    def __init__(self, data_cfg=None, dictionary=None, transform=None,
+                 target_transform=None, stage="train"):
+        super().__init__(data_cfg, dictionary, transform, target_transform,
+                         stage)
+        root = data_cfg.IMG_DIR
+        seq_dir = os.path.join(root, "sequences")
+        ann_dir = (data_cfg.LABELS.DET_DIR if data_cfg.LABELS else None) or \
+            os.path.join(root, "annotations")
+        self._frames = []          # (img_path, seq, frame_no)
+        self._anns = {}            # (seq, frame_no) → list[(tid, box, cat)]
+        for seq in sorted(os.listdir(seq_dir)) if os.path.isdir(seq_dir) else []:
+            sdir = os.path.join(seq_dir, seq)
+            if not os.path.isdir(sdir):
+                continue
+            for p in sorted(globlib.glob(os.path.join(sdir, "*.jpg"))):
+                fno = int(os.path.splitext(os.path.basename(p))[0])
+                self._frames.append((p, seq, fno))
+            ann = os.path.join(ann_dir, seq + ".txt")
+            if os.path.exists(ann):
+                for line in open(ann):
+                    parts = line.strip().rstrip(",").split(",")
+                    if len(parts) < 8:
+                        continue
+                    fno, tid = int(parts[0]), int(parts[1])
+                    x, y, w, h = (float(v) for v in parts[2:6])
+                    cat = int(float(parts[7]))
+                    if cat < 1 or w < 2 or h < 2:
+                        continue  # 0 = ignored regions
+                    self._anns.setdefault((seq, fno), []).append(
+                        (tid, [x, y, x + w, y + h], cat - 1))
+        if not self._frames:
+            raise RuntimeError(f"no sequences under {seq_dir}")
+
+    def __len__(self):
+        return len(self._frames)
+
+    def __getitem__(self, idx):
+        path, seq, fno = self._frames[idx]
+        img = cv2.imread(path)
+        sample = {"image": img, "target": None}
+        if self.stage != "infer":
+            rows = self._anns.get((seq, fno), [])
+            nc = max(len(self.dictionary or ()), 1)
+            rows = [r for r in rows if r[2] < nc]
+            sample["target"] = {
+                "boxes": np.asarray([r[1] for r in rows],
+                                    np.float32).reshape(-1, 4),
+                "labels": np.asarray([r[2] for r in rows], np.int32),
+                "track_ids": np.asarray([r[0] for r in rows], np.int32),
+            }
+        if self.transform:
+            sample = self.transform(sample)
+        return sample
+
+
 @DATASETS.register(name="WiderFaceDetection", aliases=("WiderFace",))
 class WiderFaceDetection(Dataset):
     """(reference: widerface.py:27) — wider_face_*_bbx_gt.txt list format:

@@ -101,7 +101,11 @@ class ResNet(nn.Module):
     pretrained: bool = False
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, rfp_feats=None):
+        """``rfp_feats``: optional {stage_idx: (B,h,w,C) feature} injected
+        after each stage's first block — the DetectoRS Recursive Feature
+        Pyramid hook (reference necks/rfp.py:93; zero-init 1×1 conv so the
+        recursion starts as identity)."""
         block_type, layers = _SPECS[self.subtype]
         groups, base_width = 1, 64
         if "resnext50" in self.subtype:
@@ -146,6 +150,10 @@ class ResNet(nn.Module):
                         downsample=need_ds, groups=groups,
                         base_width=base_width, name=f"layer{si}_block{bi}",
                     )(x, train)
+                if first and rfp_feats is not None and si in rfp_feats:
+                    x = x + nn.Conv(x.shape[-1], (1, 1),
+                                    kernel_init=nn.initializers.zeros,
+                                    name=f"rfp_conv{si}")(rfp_feats[si])
             if si in self.out_stages and not self.classifier:
                 feats.append(x)
             planes *= 2

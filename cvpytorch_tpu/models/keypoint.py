@@ -109,10 +109,9 @@ class OpenPose(nn.Module):
         return losses, {"heatmaps": hms[-1], "pafs": pafs[-1]}
 
 
-@MODELS.register(name="SimplePose", aliases=("LitePose",))
+@MODELS.register(name="SimplePose")
 class SimplePose(nn.Module):
-    """Deconv-head heatmap pose (SimpleBaseline-style; the reference's
-    LitePose slot, litepose.py:23)."""
+    """Deconv-head heatmap pose (SimpleBaseline-style)."""
 
     dictionary: Sequence[Any] = ()
     model_cfg: Any = None
@@ -150,6 +149,99 @@ class SimplePose(nn.Module):
         if mode == "train":
             return loss, losses
         return losses, decode_heatmaps(hm)
+
+
+@MODELS.register(name="LitePose")
+class LitePose(nn.Module):
+    """Lite Pose (arXiv:2205.01271) — single-branch backbone + **fusion
+    deconv head** with scale-aware multi-resolution supervision.
+
+    The reference's ``src/models/litepose.py:23-74`` is an unfinished
+    seg-style wrapper (CE loss, no LitePose backbone/head registered
+    anywhere); this is the actual paper architecture: each deconv stage
+    upsamples and fuses the matching backbone stage through a 1×1
+    lateral, runs a large-kernel (7×7 depthwise) separable conv, and the
+    last ``num_outputs`` stages each emit a heatmap head whose loss is
+    computed against gaussians rendered at that scale.
+
+    TPU notes: ConvTranspose + DW7×7 both map to MXU/vector units with
+    static shapes; per-scale targets are rendered in-graph (no host
+    round-trip)."""
+
+    dictionary: Sequence[Any] = ()
+    model_cfg: Any = None
+    num_keypoints: int = 17
+    deconv_channels: Sequence[int] = (128, 64, 32)
+    num_outputs: int = 2            # supervise the last N deconv scales
+    sigma: float = 2.0
+
+    def setup(self):
+        cfg = self.model_cfg or {}
+        get = cfg.get if hasattr(cfg, "get") else (lambda k, d=None: d)
+        bb = get("BACKBONE") or {"name": "MobileNetV2",
+                                 "out_stages": (2, 3, 5, 7),
+                                 "width_mult": 1.0}
+        self.backbone = build_backbone(
+            dict(bb.items()) if hasattr(bb, "items") else bb)
+
+    @nn.compact
+    def _heatmap_pyramid(self, images, train: bool):
+        feats = self.backbone(images, train=train)
+        # feats: strides (4, 8, 16, 32); deconv from C5 up, fusing laterals
+        x = feats[-1]
+        outs = []
+        n = len(self.deconv_channels)
+        for i, ch in enumerate(self.deconv_channels):
+            x = nn.ConvTranspose(ch, (4, 4), strides=(2, 2),
+                                 name=f"deconv{i}")(x)
+            x = nn.relu(nn.BatchNorm(use_running_average=not train,
+                                     momentum=0.9, epsilon=1e-5,
+                                     name=f"deconv_bn{i}")(x))
+            skip = feats[len(feats) - 2 - i]
+            x = x + nn.Conv(ch, (1, 1), name=f"lateral{i}")(skip)
+            x = ConvBNAct(ch, 7, groups=ch, act="relu", bn_momentum=0.9,
+                          bn_eps=1e-5, name=f"dw{i}")(x, train)
+            x = ConvBNAct(ch, 1, act="relu", bn_momentum=0.9, bn_eps=1e-5,
+                          name=f"pw{i}")(x, train)
+            if i >= n - self.num_outputs:
+                outs.append(nn.Conv(self.num_keypoints, (1, 1),
+                                    name=f"final{i}")(x))
+        return outs
+
+    def _loss(self, hms, targets, images):
+        ih = images.shape[1]
+        if "keypoints" in targets:
+            kp = targets["keypoints"]          # (B, K, 2/3) image px
+            valid = targets.get("valid")
+            if valid is None:
+                valid = (kp[..., 2] > 0) if kp.shape[-1] > 2 \
+                    else jnp.ones(kp.shape[:2], bool)
+            total = 0.0
+            for hm in hms:
+                s = ih / hm.shape[1]
+                t = render_gaussian_heatmaps(kp[..., :2] / s, valid,
+                                             hm.shape[1:3], self.sigma)
+                total = total + ((hm - t) ** 2).mean()
+            return total
+        t_hi = targets["heatmaps"]             # rendered at the top scale
+        total = 0.0
+        for hm in hms:
+            t = t_hi if hm.shape[1:3] == t_hi.shape[1:3] else \
+                jax.image.resize(t_hi, hm.shape[:3] + (t_hi.shape[-1],),
+                                 "bilinear")
+            total = total + ((hm - t) ** 2).mean()
+        return total
+
+    def __call__(self, images, targets=None, mode: str = "infer"):
+        train = mode == "train"
+        hms = self._heatmap_pyramid(images, train=train)
+        if mode == "infer":
+            return decode_heatmaps(hms[-1])
+        loss = self._loss(hms, targets, images)
+        losses = {"heatmap_loss": loss, "loss": loss}
+        if mode == "train":
+            return loss, losses
+        return losses, decode_heatmaps(hms[-1])
 
 
 def decode_heatmaps(hm):

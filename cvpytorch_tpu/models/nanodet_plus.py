@@ -54,10 +54,23 @@ class NanoDetPlus(nn.Module):
         self.backbone = build_backbone(dict(bb.items()) if hasattr(bb, "items") else bb)
         neck_cfg = get("NECK") or {}
         nget = neck_cfg.get if hasattr(neck_cfg, "get") else (lambda k, d=None: d)
-        self.neck = GhostPAN(
-            out_channels=int(nget("out_channels", self.feat_channels)
-                             or self.feat_channels),
-            num_extra_levels=len(self.strides) - 3)
+        if (nget("name") or "GhostPAN") == "TAN":
+            # NanoDet-t (reference conf/ext/coco_nanodet_t.yml — 3 levels)
+            from .necks.tan import TAN
+
+            self.neck = TAN(
+                out_channels=int(nget("out_channels", self.feat_channels)
+                                 or self.feat_channels),
+                feature_hw=tuple(nget("feature_hw", (20, 20)) or (20, 20)),
+                num_heads=int(nget("num_heads", 8) or 8),
+                num_encoders=int(nget("num_encoders", 1) or 1),
+                mlp_ratio=int(nget("mlp_ratio", 4) or 4),
+                dropout_ratio=float(nget("dropout_ratio", 0.1) or 0.0))
+        else:
+            self.neck = GhostPAN(
+                out_channels=int(nget("out_channels", self.feat_channels)
+                                 or self.feat_channels),
+                num_extra_levels=len(self.strides) - 3)
         self.head = NanoDetPlusHead(
             num_classes=self.num_classes,
             feat_channels=self.feat_channels,

@@ -108,3 +108,18 @@ def test_det_collate_pads(tiny_coco):
     assert t["boxes"].shape == (2, 8, 4)
     assert t["valid"].sum() == 2
     assert batch["image_id"].tolist() == [1, 2]
+
+
+def test_coco_ram_cache(tiny_coco):
+    cfg = CommonConfiguration({**dict(tiny_coco.items()), "CACHE": True})
+    ds = CocoDetection(data_cfg=cfg,
+                       dictionary=[{"cat": 1.0}, {"dog": 1.0}], stage="train")
+    assert ds._cache is not None and len(ds._cache) == len(ds)
+    s = ds[0]
+    # cached image must be a private copy (transforms mutate in place)
+    s["image"][:] = 0
+    assert ds[0]["image"].max() > 0
+    # second construction loads the persisted disk cache
+    ds2 = CocoDetection(data_cfg=cfg,
+                        dictionary=[{"cat": 1.0}, {"dog": 1.0}], stage="train")
+    assert np.array_equal(ds2[0]["image"], ds[0]["image"])

@@ -73,3 +73,27 @@ def test_pck_evaluator():
     m = ev.evaluate()
     assert abs(m["PCK"] - 0.5) < 1e-6
     assert 0 <= m["OKS_AP"] <= 1
+
+
+def test_litepose_contract(rng):
+    import jax
+    import jax.numpy as jnp
+
+    from cvpytorch_tpu.models.keypoint import LitePose
+
+    model = LitePose(dictionary=({"person": 1.0},), num_keypoints=5,
+                     deconv_channels=(32, 16, 16), num_outputs=2)
+    imgs = jax.random.normal(rng, (2, 64, 64, 3))
+    kp = jnp.concatenate([
+        jax.random.uniform(rng, (2, 5, 2), minval=4, maxval=60),
+        jnp.full((2, 5, 1), 2.0)], -1)
+    t = {"keypoints": kp, "valid": jnp.ones((2, 5), bool)}
+    vars_ = model.init(rng, imgs, t, mode="train")
+    (loss, losses), _ = model.apply(vars_, imgs, t, mode="train",
+                                    mutable=["batch_stats"])
+    assert bool(jnp.isfinite(loss)) and "heatmap_loss" in losses
+    preds = model.apply(vars_, imgs, mode="infer")
+    # final scale is stride 4 on a (2,3,5,7) MobileNetV2 fusion ladder
+    assert preds.shape == (2, 5, 3)
+    ldict, preds2 = model.apply(vars_, imgs, t, mode="val")
+    assert preds2.shape == (2, 5, 3)

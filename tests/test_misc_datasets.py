@@ -76,3 +76,34 @@ def test_pennfudan_masks(tmp_path):
     assert np.allclose(t["boxes"][0], [2, 2, 8, 8])
     assert t["masks"].shape == (2, 112, 112)
     assert t["masks"][0].max() == 1.0
+
+
+def test_visdrone_track(tmp_path):
+    import cv2
+    import numpy as np
+
+    from cvpytorch_tpu.config import CommonConfiguration
+    from cvpytorch_tpu.data.datasets.misc_datasets import VisDroneTrack
+
+    seq = tmp_path / "sequences" / "uav001"
+    seq.mkdir(parents=True)
+    ann_dir = tmp_path / "annotations"
+    ann_dir.mkdir()
+    for f in (1, 2):
+        cv2.imwrite(str(seq / f"{f:07d}.jpg"),
+                    np.full((40, 60, 3), 90, np.uint8))
+    (ann_dir / "uav001.txt").write_text(
+        "1,5,10,10,20,15,1,1,0,0\n"     # frame 1, track 5, cat 1
+        "1,6,30,5,15,10,1,2,0,0\n"      # frame 1, track 6, cat 2
+        "2,5,12,11,20,15,1,1,0,0\n"     # frame 2, track 5
+        "1,9,0,0,5,5,1,0,0,0\n")        # cat 0 = ignored region
+    ds = VisDroneTrack(
+        data_cfg=CommonConfiguration({"IMG_DIR": str(tmp_path)}),
+        dictionary=[{"ped": 1.0}, {"person": 1.0}], stage="train")
+    assert len(ds) == 2
+    t0 = ds[0]["target"]
+    assert t0["boxes"].shape == (2, 4)
+    assert list(t0["track_ids"]) == [5, 6]
+    t1 = ds[1]["target"]
+    assert list(t1["track_ids"]) == [5]
+    assert np.allclose(t1["boxes"][0], [12, 11, 32, 26])
