@@ -155,17 +155,26 @@ class CommonConfiguration(Configuration):
         return cls(payload)
 
 
-def load_dictionary(path: str) -> list[dict]:
+def load_dictionary(path: str, task: str | None = None) -> list[dict]:
     """Load a class-dictionary yml (reference: conf/dicts/*_dict.yml).
 
-    Returns the list under the single task key (CLS_CLASSES / SEG_CLASSES /
-    DET_CLASSES / INS_CLASSES / KEYPOINT_CLASSES); each element is a one-item
-    mapping ``{class_name: loss_weight}``.
+    Returns ``(task_key, classes)`` — the list under the task key
+    (CLS_CLASSES / SEG_CLASSES / DET_CLASSES / INS_CLASSES /
+    KEYPOINT_CLASSES); each element is a one-item mapping
+    ``{class_name: loss_weight}``.  Some reference dicts (voc, pennfudan,
+    pet) carry several task sections in one file — pass ``task`` (the
+    config's DICTIONARY_NAME) to select, as the reference loader does.
     """
     with open(path, "r") as f:
         payload = yaml.safe_load(f)
-    if not isinstance(payload, Mapping) or len(payload) != 1:
-        raise ValueError(f"dictionary yml must have exactly one task key: {path}")
+    if not isinstance(payload, Mapping) or not payload:
+        raise ValueError(f"dictionary yml must map task keys: {path}")
+    if task is not None and task in payload:
+        return task, payload[task]
+    if len(payload) != 1:
+        raise ValueError(
+            f"dictionary yml has {len(payload)} task keys; pass the "
+            f"DICTIONARY_NAME to select one: {path}")
     (task_key, classes), = payload.items()
     return task_key, classes
 

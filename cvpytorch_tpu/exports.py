@@ -83,7 +83,8 @@ def main(argv=None):
     cfg = CommonConfiguration.from_yaml(args.setting)
     dictionary = []
     if cfg.DATASET and cfg.DATASET.DICTIONARY:
-        _, dictionary = load_dictionary(cfg.DATASET.DICTIONARY)
+        _, dictionary = load_dictionary(cfg.DATASET.DICTIONARY,
+                                       cfg.DATASET.DICTIONARY_NAME)
     model = MODELS.get(cfg.USE_MODEL.CLASS)(
         dictionary=tuple(dictionary), model_cfg=cfg.USE_MODEL)
     payload = Checkpoints.load(args.checkpoint)

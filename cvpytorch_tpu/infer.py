@@ -51,7 +51,8 @@ def main(argv=None):
     cfg = CommonConfiguration.from_yaml(args.setting)
     dictionary = []
     if cfg.DATASET.DICTIONARY:
-        _, dictionary = load_dictionary(cfg.DATASET.DICTIONARY)
+        _, dictionary = load_dictionary(cfg.DATASET.DICTIONARY,
+                                       cfg.DATASET.DICTIONARY_NAME)
     dictionary_name = cfg.DATASET.DICTIONARY_NAME or "CLS_CLASSES"
 
     stage_cfg = cfg.DATASET.get("INFER") or cfg.DATASET.get("VAL")

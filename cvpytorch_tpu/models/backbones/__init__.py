@@ -11,6 +11,9 @@ from . import efficientnet, mobilenetv3, convnext, repvgg, misc_backbones  # noq
 from . import seg_transformers  # noqa: F401
 from . import seg_light  # noqa: F401
 from . import lfd_resnet  # noqa: F401
+from . import regnet  # noqa: F401
+from . import efficientnet_lite  # noqa: F401
+from . import custom_cspnet  # noqa: F401
 
 
 def build_backbone(cfg: dict):

@@ -106,7 +106,13 @@ class ResNet(nn.Module):
         after each stage's first block — the DetectoRS Recursive Feature
         Pyramid hook (reference necks/rfp.py:93; zero-init 1×1 conv so the
         recursion starts as identity)."""
-        block_type, layers = _SPECS[self.subtype]
+        # v1c / v1d suffix → deep stem: three 3×3 convs replace the 7×7
+        # (reference ResNetV1c as named by conf/seg/sfnet/*.yml)
+        subtype = self.subtype
+        deep_stem = subtype.endswith(("v1c", "v1d"))
+        if deep_stem:
+            subtype = subtype[:-3]
+        block_type, layers = _SPECS[subtype]
         groups, base_width = 1, 64
         if "resnext50" in self.subtype:
             groups, base_width = 32, 4
@@ -124,10 +130,17 @@ class ResNet(nn.Module):
             strides[2], dilations[2] = 1, 2
             strides[3], dilations[3] = 1, 4
 
-        x = nn.Conv(64, (7, 7), strides=2, padding=3, use_bias=False,
-                    name="stem_conv")(x)
-        x = _bn(train, "stem_bn")(x)
-        x = nn.relu(x)
+        if deep_stem:
+            for i, (ch, s) in enumerate(((32, 2), (32, 1), (64, 1))):
+                x = nn.Conv(ch, (3, 3), strides=s, padding=1, use_bias=False,
+                            name=f"stem_conv{i}")(x)
+                x = _bn(train, f"stem_bn{i}")(x)
+                x = nn.relu(x)
+        else:
+            x = nn.Conv(64, (7, 7), strides=2, padding=3, use_bias=False,
+                        name="stem_conv")(x)
+            x = _bn(train, "stem_bn")(x)
+            x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
 
         feats = []

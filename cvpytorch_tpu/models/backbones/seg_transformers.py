@@ -216,3 +216,137 @@ class MSCAN(nn.Module):
             return nn.Dense(self.num_classes, name="fc")(
                 jnp.mean(x, axis=(1, 2)))
         return tuple(feats)
+
+
+# ---------------------------------------------------------- IncepFormer
+# (reference: src/models/backbones/seg/incep_transformer.py:16-324 —
+# "IncepFormer: Efficient Inception Transformer with Pyramid Pooling",
+# used by conf/seg/incepformer/*.yml via the EncoderDecoder)
+
+_IPT_SPECS = {  # out_channels, depths, heads, mlp_ratios, down_ratios
+    "ipt_t": ((64, 128, 320, 512), (2, 2, 4, 2)),
+    "ipt_s": ((64, 128, 320, 512), (3, 4, 12, 2)),
+    "ipt_b": ((64, 128, 320, 512), (3, 6, 24, 2)),
+}
+_IPT_HEADS = (2, 4, 8, 16)
+_IPT_MLP = (8, 8, 4, 4)
+_IPT_DOWN = (8, 4, 2, 1)
+
+
+class _IncepAttention(nn.Module):
+    """Inception token mixer: K/V pool the map three ways — separable
+    strided DW (1×r then r×1), square strided DW (r×r), and average-pool +
+    DW3×3 — concatenated (reference incep_transformer.py:66-146)."""
+
+    dim: int
+    heads: int
+    down_ratio: int
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):  # x: (B, H, W, C)
+        B, H, W, C = x.shape
+        N = H * W
+        tokens = x.reshape(B, N, C)
+        q = nn.Dense(self.dim, use_bias=True, name="q")(tokens)
+        r = self.down_ratio
+        if r > 1:
+            x1 = nn.Conv(self.dim, (1, r), strides=(1, r),
+                         feature_group_count=self.dim, name="conv1a")(x)
+            x1 = nn.Conv(self.dim, (r, 1), strides=(r, 1),
+                         feature_group_count=self.dim, name="conv1b")(x1)
+            x2 = nn.Conv(self.dim, (r, r), strides=(r, r),
+                         feature_group_count=self.dim, name="conv2")(x)
+            x3 = nn.avg_pool(x, (r, r), strides=(r, r))
+            x3 = nn.Conv(self.dim, (3, 3), padding=1,
+                         feature_group_count=self.dim, name="dwconv")(x3)
+            pooled = jnp.concatenate([
+                x1.reshape(B, -1, C), x2.reshape(B, -1, C),
+                x3.reshape(B, -1, C)], 1)
+            pooled = nn.LayerNorm(name="norm")(pooled)
+        else:
+            pooled = tokens
+        kv = nn.Dense(self.dim * 2, use_bias=True, name="kv")(pooled)
+        k, v = jnp.split(kv, 2, -1)
+        hd = self.dim // self.heads
+        q = q.reshape(B, N, self.heads, hd).transpose(0, 2, 1, 3)
+        k = k.reshape(B, -1, self.heads, hd).transpose(0, 2, 1, 3)
+        v = v.reshape(B, -1, self.heads, hd).transpose(0, 2, 1, 3)
+        attn = jax.nn.softmax(
+            jnp.einsum("bhnd,bhmd->bhnm", q, k,
+                       preferred_element_type=jnp.float32) / jnp.sqrt(hd), -1)
+        out = jnp.einsum("bhnm,bhmd->bhnd", attn.astype(v.dtype), v)
+        out = out.transpose(0, 2, 1, 3).reshape(B, N, self.dim)
+        out = nn.Dense(self.dim, use_bias=True, name="proj")(out)
+        return out.reshape(B, H, W, C)
+
+
+class _IncepMlp(nn.Module):
+    """1×1 → DW3×3 → 1×1 convs, GELU after each
+    (reference incep_transformer.py:57-63)."""
+
+    dim: int
+    hidden: int
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.gelu(nn.Conv(self.hidden, (1, 1), name="fc1")(x))
+        x = nn.gelu(nn.Conv(self.hidden, (3, 3), padding=1,
+                            feature_group_count=self.hidden,
+                            name="dwconv")(x))
+        return nn.gelu(nn.Conv(self.dim, (1, 1), name="fc2")(x))
+
+
+class _IncepBlock(nn.Module):
+    dim: int
+    heads: int
+    down_ratio: int
+    mlp_ratio: int
+    drop_path: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        bn = lambda nm: nn.BatchNorm(  # noqa: E731
+            use_running_average=not train, momentum=0.9, epsilon=1e-5,
+            name=nm)
+        y = _IncepAttention(self.dim, self.heads, self.down_ratio,
+                            name="attn")(bn("norm1")(x), train)
+        x = x + DropPath(self.drop_path)(y, train)
+        y = _IncepMlp(self.dim, int(self.dim * self.mlp_ratio),
+                      name="mlp")(bn("norm2")(x))
+        return x + DropPath(self.drop_path)(y, train)
+
+
+@BACKBONES.register(name="IncepTransformer", aliases=("ipt",))
+class IncepTransformer(nn.Module):
+    subtype: str = "ipt_t"
+    out_stages: Sequence[int] = (1, 2, 3, 4)
+    drop_path_rate: float = 0.1
+    pretrained: bool = False   # config-compat slot
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        import numpy as _np
+
+        chs, depths = _IPT_SPECS[self.subtype]
+        # host-side constants — jnp.linspace here would be a traced value
+        # and float() on it breaks under jit
+        dpr = [float(v) for v in
+               _np.linspace(0, self.drop_path_rate, sum(depths))]
+        cur = 0
+        outs = []
+        for i, (ch, depth) in enumerate(zip(chs, depths)):
+            k, s = (7, 4) if i == 0 else (3, 2)
+            x = nn.Conv(ch, (k, k), strides=s, padding=k // 2,
+                        name=f"patch_embed{i + 1}")(x)
+            x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                             epsilon=1e-5, name=f"embed_norm{i + 1}")(x)
+            for j in range(depth):
+                x = _IncepBlock(ch, _IPT_HEADS[i], _IPT_DOWN[i],
+                                _IPT_MLP[i], dpr[cur + j],
+                                name=f"block{i + 1}_{j}")(x, train)
+            x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                             epsilon=1e-5, name=f"norm{i + 1}")(x)
+            cur += depth
+            if i + 1 in self.out_stages:
+                outs.append(x)
+        return tuple(outs)

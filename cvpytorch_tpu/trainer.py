@@ -75,7 +75,9 @@ class Trainer:
         """(reference: trainer.py:73-84)"""
         self.dictionary = []
         if self.cfg.DATASET and self.cfg.DATASET.DICTIONARY:
-            _, self.dictionary = load_dictionary(self.cfg.DATASET.DICTIONARY)
+            _, self.dictionary = load_dictionary(
+                self.cfg.DATASET.DICTIONARY,
+                self.cfg.DATASET.DICTIONARY_NAME)
         self.dictionary_name = (
             self.cfg.DATASET.DICTIONARY_NAME if self.cfg.DATASET else "CLS_CLASSES"
         ) or "CLS_CLASSES"

@@ -98,3 +98,36 @@ def test_repvgg_deploy_fuse(rng):
                                  "bias": jnp.asarray(b)}}}
     y_deploy = deploy.apply(vd, x, train=False)
     assert np.abs(np.asarray(y_train) - np.asarray(y_deploy)).max() < 1e-4
+
+
+@pytest.mark.parametrize(
+    "cfg,in_hw,expect_chs,expect_strides",
+    [
+        ({"name": "RegNet", "subtype": "regnet_y_400mf"}, 64,
+         (104, 208, 440), (8, 16, 32)),
+        ({"name": "RegNet", "subtype": "regnet_x_400mf"}, 64,
+         (64, 160, 400), (8, 16, 32)),
+        ({"name": "EfficientNetLite", "subtype": "efficientnet_lite0",
+          "out_stages": (2, 4, 6)}, 64, (40, 112, 320), (8, 16, 32)),
+        ({"name": "CustomCspNet", "out_stages": (3, 4, 5)}, 64,
+         (128, 256, 512), (8, 16, 32)),
+    ],
+)
+def test_new_backbone_shapes(rng, cfg, in_hw, expect_chs, expect_strides):
+    bb = build_backbone(cfg)
+    x = jnp.zeros((1, in_hw, in_hw, 3))
+    vars_ = bb.init({"params": rng, "dropout": rng}, x, train=False)
+    feats = bb.apply(vars_, x, train=False)
+    assert len(feats) == len(expect_chs)
+    for f, ch, s in zip(feats, expect_chs, expect_strides):
+        assert f.shape == (1, in_hw // s, in_hw // s, ch), (f.shape, ch, s)
+
+
+def test_resnet_v1c_deep_stem(rng):
+    bb = build_backbone({"name": "ResNet", "subtype": "resnet18v1c",
+                         "out_stages": (1, 2, 3, 4)})
+    x = jnp.zeros((1, 64, 64, 3))
+    vars_ = bb.init(rng, x, train=False)
+    feats = bb.apply(vars_, x, train=False)
+    assert [f.shape[-1] for f in feats] == [64, 128, 256, 512]
+    assert "stem_conv0" in vars_["params"] and "stem_conv2" in vars_["params"]

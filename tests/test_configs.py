@@ -28,7 +28,7 @@ def test_config_resolves_and_builds(path, rng):
         dict_path = os.path.join(CONF_DIR, "..", dict_path)
     dictionary = []
     if dict_path and os.path.exists(dict_path):
-        _, dictionary = load_dictionary(dict_path)
+        _, dictionary = load_dictionary(dict_path, cfg.DATASET.DICTIONARY_NAME)
         assert len(dictionary) > 0
 
     import dataclasses

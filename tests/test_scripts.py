@@ -1,0 +1,91 @@
+"""Dataset-prep scripts (scripts/dataset_proc.py, scripts/anchor_cluster.py)."""
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
+
+import dataset_proc  # noqa: E402
+import anchor_cluster  # noqa: E402
+
+
+def _tiny_coco_json(path, n=6):
+    rs = np.random.RandomState(0)
+    images = [{"id": i, "file_name": f"{i}.jpg", "width": 100, "height": 80}
+              for i in range(n)]
+    anns = []
+    for i in range(n):
+        for j in range(3):
+            w, h = rs.randint(10, 40), rs.randint(10, 40)
+            anns.append({"id": i * 10 + j, "image_id": i,
+                         "category_id": (j % 2) + 1,
+                         "bbox": [5, 5, int(w), int(h)], "iscrowd": 0,
+                         "area": int(w * h)})
+    with open(path, "w") as f:
+        json.dump({"images": images, "annotations": anns,
+                   "categories": [{"id": 1, "name": "cat"},
+                                  {"id": 2, "name": "dog bear"}]}, f)
+
+
+def test_coco_dict_and_subset(tmp_path):
+    ann = tmp_path / "inst.json"
+    _tiny_coco_json(str(ann))
+    out = tmp_path / "dict.yml"
+    dataset_proc.main(["coco-dict", "--ann", str(ann), "--out", str(out)])
+    text = out.read_text()
+    assert "DET_CLASSES:" in text and "dog_bear: 1.0" in text
+
+    sub = tmp_path / "sub.json"
+    dataset_proc.main(["coco-subset", "--ann", str(ann), "--out", str(sub),
+                       "-n", "2"])
+    blob = json.loads(sub.read_text())
+    assert len(blob["images"]) == 2
+    assert all(a["image_id"] in (0, 1) for a in blob["annotations"])
+
+
+def test_pair_list_and_split(tmp_path):
+    img_dir = tmp_path / "imgs"
+    lab_dir = tmp_path / "labels"
+    for i in range(4):
+        (img_dir / "city").mkdir(parents=True, exist_ok=True)
+        (lab_dir / "city").mkdir(parents=True, exist_ok=True)
+        (img_dir / "city" / f"{i}.png").write_bytes(b"x")
+        if i != 3:  # one unlabeled image must be skipped
+            (lab_dir / "city" / f"{i}.png").write_bytes(b"y")
+    out = tmp_path / "train.txt"
+    dataset_proc.main(["pair-list", "--img-dir", str(img_dir),
+                       "--label-dir", str(lab_dir), "--out", str(out)])
+    assert len(out.read_text().strip().splitlines()) == 3
+
+    src = tmp_path / "cls"
+    for c in ("a", "b"):
+        (src / c).mkdir(parents=True)
+        for i in range(5):
+            (src / c / f"{i}.jpg").write_bytes(b"z")
+    dst = tmp_path / "split"
+    dataset_proc.main(["split-folders", "--src", str(src), "--dst",
+                       str(dst), "--val-rate", "0.2"])
+    assert len(os.listdir(dst / "train" / "a")) == 4
+    assert len(os.listdir(dst / "val" / "a")) == 1
+
+
+def test_widerface_convert(tmp_path):
+    gt = tmp_path / "gt.txt"
+    gt.write_text("0--Parade/0_Parade_1.jpg\n2\n10 10 30 40 0 0 0 0 0 0\n"
+                  "50 20 1 1 0 0 0 0 0 0\nx/y.jpg\n0\n0 0 0 0 0\n")
+    out_dir = tmp_path / "out"
+    dataset_proc.main(["widerface", "--gt", str(gt),
+                       "--out-dir", str(out_dir)])
+    rows = (out_dir / "0--Parade_0_Parade_1.txt").read_text().strip()
+    assert rows == "10 10 40 50 1"   # degenerate 1x1 box dropped
+
+
+def test_anchor_cluster_coco(tmp_path):
+    ann = tmp_path / "inst.json"
+    _tiny_coco_json(str(ann), n=12)
+    anchors = anchor_cluster.main(["--coco", str(ann), "-n", "4",
+                                   "--img-size", "64"])
+    assert anchors.shape == (4, 2)
+    assert (anchors > 0).all()

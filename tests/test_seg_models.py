@@ -79,3 +79,40 @@ def test_efficientdet_contract(rng):
     assert np.isfinite(float(total))
     _, preds = model.apply(v, imgs, tgts, mode="val", rngs={"dropout": rng})
     assert preds["boxes"].shape == (1, 100, 4)
+
+
+def test_grid_sample_bilinear_identity():
+    from cvpytorch_tpu.models.heads.seg_heads_extra import (
+        grid_sample_bilinear)
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.rand(1, 6, 8, 3).astype(np.float32))
+    ys = jnp.linspace(-1, 1, 6)
+    xs = jnp.linspace(-1, 1, 8)
+    grid = jnp.stack(jnp.meshgrid(xs, ys), -1)[None]
+    out = grid_sample_bilinear(x, grid)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(x), atol=1e-5)
+
+
+@pytest.mark.parametrize("cfg", [
+    # SFNet (reference conf/seg/sfnet/cityscapes_sfnet_r18.yml)
+    {"BACKBONE": {"name": "ResNet", "subtype": "resnet18v1c",
+                  "out_stages": [1, 2, 3, 4], "output_stride": 8},
+     "HEAD": {"name": "UperNetAlignHead", "channels": 32,
+              "bins": [1, 2, 3, 6]}},
+    # IncepFormer (reference conf/seg/incepformer/cityscapes_incepformer_t.yml)
+    {"BACKBONE": {"name": "IncepTransformer", "subtype": "ipt_t"},
+     "HEAD": {"name": "UpConcatHead", "channels": 64}},
+])
+def test_sfnet_incepformer(rng, cfg):
+    model = EncoderDecoder(dictionary=({"a": 1}, {"b": 1}),
+                           model_cfg=CommonConfiguration(cfg))
+    img = jax.random.normal(rng, (1, 64, 64, 3))
+    tgt = jnp.zeros((1, 64, 64), jnp.int32)
+    v = model.init({"params": rng, "dropout": rng}, img, tgt, mode="train")
+    (loss, _), _ = model.apply(v, img, tgt, mode="train",
+                               mutable=["batch_stats"],
+                               rngs={"dropout": rng})
+    assert np.isfinite(float(loss))
+    preds = model.apply(v, img, mode="infer", rngs={"dropout": rng})
+    assert preds.shape == (1, 64, 64)
