@@ -97,11 +97,24 @@ class SyntheticDetection(Dataset):
             int(getattr(data_cfg, "SEED", None) or 0) + (1 if stage != "train" else 0)
         )
         self._seeds = self._rng.randint(0, 2**31 - 1, size=self.length)
+        self.load_num = int(getattr(data_cfg, "LOAD_NUM", None) or 1) \
+            if stage == "train" else 1
 
     def __len__(self):
         return self.length
 
     def __getitem__(self, idx):
+        if self.load_num > 1:
+            import random as _random
+
+            group = [self._load_one(i) for i in
+                     [idx] + [_random.randrange(self.length)
+                              for _ in range(self.load_num - 1)]]
+            return self.transform(group) if self.transform else group
+        sample = self._load_one(idx)
+        return self.transform(sample) if self.transform else sample
+
+    def _load_one(self, idx):
         rng = np.random.RandomState(self._seeds[idx])
         h, w = self.size
         img = rng.randint(0, 30, (h, w, 3)).astype(np.uint8)
@@ -120,8 +133,5 @@ class SyntheticDetection(Dataset):
             "boxes": np.asarray(boxes, dtype=np.float32),
             "labels": np.asarray(labels, dtype=np.int32),
         }
-        sample = {"image": img,
-                  "target": None if self.stage == "infer" else target}
-        if self.transform:
-            sample = self.transform(sample)
-        return sample
+        return {"image": img,
+                "target": None if self.stage == "infer" else target}

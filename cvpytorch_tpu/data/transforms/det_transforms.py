@@ -617,6 +617,39 @@ DET_TRANSFORMS = {
 }
 
 
+def make_device_aug_collate(max_boxes: int = 32, tile: int = 640,
+                            fill=(114, 114, 114)):
+    """Collate for the DEVICE_AUG path: each dataset item is the raw
+    LOAD_NUM=4 sample list; tiles are host-letterboxed to ``tile``² uint8
+    and stacked to (B, 4, S, S, 3) — mosaic/affine/HSV/flip/normalize run
+    in-graph via ``ops.augment.fused_det_augment``."""
+    resize = Resize((tile, tile), keep_ratio=True, fill=fill)
+
+    def collate(samples):
+        B = len(samples)
+        images = np.zeros((B, 4, tile, tile, 3), np.uint8)
+        boxes = np.zeros((B, 4, max_boxes, 4), np.float32)
+        labels = np.zeros((B, 4, max_boxes), np.int32)
+        valid = np.zeros((B, 4, max_boxes), bool)
+        for i, group in enumerate(samples):
+            assert isinstance(group, (list, tuple)) and len(group) == 4, \
+                "DEVICE_AUG needs LOAD_NUM: 4 and no host mosaic transform"
+            for j, s in enumerate(group):
+                s = resize({"image": s["image"], "target": s.get("target")})
+                images[i, j] = s["image"]
+                t = s.get("target")
+                if t is None or not len(t["boxes"]):
+                    continue
+                n = min(len(t["boxes"]), max_boxes)
+                boxes[i, j, :n] = t["boxes"][:n]
+                labels[i, j, :n] = t["labels"][:n]
+                valid[i, j, :n] = True
+        return {"image": images,
+                "target": {"boxes": boxes, "labels": labels, "valid": valid}}
+
+    return collate
+
+
 def make_det_collate(max_boxes: int = 64):
     """Padded fixed-shape detection batch
     (replaces CocoDetection.collate_fn + trans_specific_format)."""
@@ -632,6 +665,8 @@ def make_det_collate(max_boxes: int = 64):
         heights = np.zeros((B,), np.int32)
         widths = np.zeros((B,), np.int32)
         img_ids = np.zeros((B,), np.int64)
+        masks = None
+        kpts = None
         for i, s in enumerate(samples):
             t = s.get("target")
             heights[i], widths[i] = s["image"].shape[:2]
@@ -642,6 +677,16 @@ def make_det_collate(max_boxes: int = 64):
                 boxes[i, :n] = t["boxes"][:n]
                 labels[i, :n] = t["labels"][:n]
                 valid[i, :n] = True
+                if t.get("masks") is not None and len(t["masks"]):
+                    if masks is None:
+                        mh = t["masks"].shape[-1]
+                        masks = np.zeros((B, max_boxes, mh, mh), np.float32)
+                    masks[i, :n] = t["masks"][:n]
+                if t.get("keypoints") is not None and len(t["keypoints"]):
+                    if kpts is None:
+                        K = t["keypoints"].shape[1]
+                        kpts = np.zeros((B, max_boxes, K, 3), np.float32)
+                    kpts[i, :n] = t["keypoints"][:n]
             pads[i] = t.get("pads", (0, 0))
             scales[i] = t.get("scales", (1, 1))
             if "height" in t:
@@ -649,14 +694,15 @@ def make_det_collate(max_boxes: int = 64):
             if "width" in t:
                 widths[i] = t["width"]
             img_ids[i] = t.get("image_id", i)
-        return {
-            "image": images,
-            "target": {
-                "boxes": boxes, "labels": labels, "valid": valid,
-                "pads": pads, "scales": scales,
-                "height": heights, "width": widths,
-            },
-            "image_id": img_ids,
+        target = {
+            "boxes": boxes, "labels": labels, "valid": valid,
+            "pads": pads, "scales": scales,
+            "height": heights, "width": widths,
         }
+        if masks is not None:
+            target["masks"] = masks
+        if kpts is not None:
+            target["keypoints"] = kpts
+        return {"image": images, "target": target, "image_id": img_ids}
 
     return det_collate

@@ -13,6 +13,9 @@ def build_evaluator(cfg, dataset=None):
     kwargs = {}
     if eval_type:
         kwargs["eval_type"] = eval_type
+    iou_types = ev_cfg.get("IOU_TYPES")
+    if iou_types:   # e.g. ['bbox', 'segm'] for Mask R-CNN (eval_coco.py)
+        kwargs["iou_types"] = tuple(iou_types)
     if name == "segmentation":
         from . import segmentation  # noqa: F401
     if name in ("coco_detection", "coco"):

@@ -63,6 +63,8 @@ def _mask_iou(dt_masks, gt_masks, crowd):
     """Binary-mask IoU (D, G); crowd → intersection/det_area."""
     D, G = len(dt_masks), len(gt_masks)
     out = np.zeros((D, G))
+    if D == 0 or G == 0:
+        return out
     d_flat = dt_masks.reshape(D, -1).astype(bool)
     g_flat = gt_masks.reshape(G, -1).astype(bool)
     inter = (d_flat[:, None, :] & g_flat[None, :, :]).sum(-1).astype(float)

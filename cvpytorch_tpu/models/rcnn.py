@@ -334,4 +334,29 @@ class MaskRCNN(nn.Module):
             out_boxes = unletterbox_boxes(
                 out_boxes, targets["pads"][:, None, :],
                 targets["scales"][:, None, :])
-        return {**dets, "boxes": out_boxes}
+        out = {**dets, "boxes": out_boxes}
+        if self.with_mask:
+            # mask-paste eval path (reference maskrcnn.py:32 +
+            # eval_coco.py iouType='segm'): mask head on the kept
+            # detections, per-class sigmoid, separable-bilinear paste
+            # onto a full-image canvas in original pixels
+            from ..ops.masks import paste_masks
+
+            B, K, _ = dets["boxes"].shape
+            flat = dets["boxes"].reshape(B * K, 4)   # network px
+            idx = jnp.repeat(jnp.arange(B), K)
+            mroi = multiscale_roi_align(feats[:4], RPN_STRIDES[:4], flat,
+                                        idx, output_size=14)
+            mlog = self.mask_head(mroi)              # (BK, 28, 28, C)
+            lab = jnp.clip(dets["labels"].reshape(-1), 0,
+                           self.num_classes - 1)
+            msel = jnp.take_along_axis(
+                mlog, lab[:, None, None, None], axis=-1)[..., 0]
+            probs = jax.nn.sigmoid(msel).reshape(B, K, 28, 28)
+            if targets is not None and "height" in targets:
+                hs, ws = targets["height"], targets["width"]
+            else:
+                hs = jnp.full((B,), h, jnp.float32)
+                ws = jnp.full((B,), w, jnp.float32)
+            out["masks"] = paste_masks(probs, out_boxes, hs, ws)
+        return out

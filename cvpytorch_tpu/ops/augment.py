@@ -70,6 +70,36 @@ def affine_warp(images, matrices, out_hw, fill: float = 114.0):
     return jax.vmap(warp_one)(images.astype(jnp.float32), matrices)
 
 
+def affine_warp_separable(images, inv_matrices, out_hw, fill: float = 114.0):
+    """Axis-aligned warp (no rotation/shear) as two batched matmuls.
+
+    Every shipped YOLO hyp uses degrees=0/shear=0, so the hot mosaic
+    path is pure scale+translate; expressing it as per-axis bilinear
+    weight matrices turns the 4-tap 2D gather (scalar-unit bound on TPU)
+    into two MXU contractions.  Border semantics match ``affine_warp``:
+    missing tent mass blends toward ``fill``.
+    """
+    B, H, W, C = images.shape
+    oh, ow = out_hw
+
+    def weights(o, s, scale, off):
+        src = scale * jnp.arange(o, dtype=jnp.float32) + off
+        idx = jnp.arange(s, dtype=jnp.float32)
+        return jnp.maximum(0.0, 1.0 - jnp.abs(src[:, None] - idx[None]))
+
+    def one(img, m):
+        wx = weights(ow, W, m[0, 0], m[0, 2])
+        wy = weights(oh, H, m[1, 1], m[1, 2])
+        t = jnp.einsum("yh,hwc->ywc", wy, img,
+                       preferred_element_type=jnp.float32)
+        t = jnp.einsum("xw,ywc->yxc", wx, t,
+                       preferred_element_type=jnp.float32)
+        cov = wy.sum(1)[:, None] * wx.sum(1)[None, :]
+        return t + (1.0 - cov)[..., None] * fill
+
+    return jax.vmap(one)(images.astype(jnp.float32), inv_matrices)
+
+
 def invert_affine(m):
     """Invert (2,3) forward affine → inverse map for affine_warp."""
     a, b, tx = m[0]
@@ -206,7 +236,9 @@ def random_affine(images, boxes, valid, key, degrees=0.0, translate=0.1,
     ms = random_affine_matrices(key, B, H, W, degrees, translate, scale,
                                 shear)
     inv = jax.vmap(invert_affine)(ms)
-    out = affine_warp(images, inv, (H, W), fill)
+    warp = affine_warp_separable if (degrees == 0.0 and shear == 0.0) \
+        else affine_warp
+    out = warp(images, inv, (H, W), fill)
     new_boxes = jax.vmap(transform_boxes)(boxes, ms)
     new_boxes = jnp.stack([
         jnp.clip(new_boxes[..., 0], 0, W), jnp.clip(new_boxes[..., 1], 0, H),
@@ -292,7 +324,9 @@ def fused_det_augment(images, boxes, valid, key, out_size: int,
                                          (B, 1, 1))], 1) @ shift
     ms = full[:, :2]
     inv = jax.vmap(invert_affine)(ms)
-    out = affine_warp(canvas, inv, (out_size, out_size))
+    # scale+translate only → separable MXU warp (the former gather warp
+    # was the 86 ms/batch hot spot)
+    out = affine_warp_separable(canvas, inv, (out_size, out_size))
     nboxes = jax.vmap(transform_boxes)(mboxes, ms)
     nboxes = jnp.clip(nboxes, 0, out_size)
     scale_b = jnp.sqrt(jnp.abs(
@@ -302,5 +336,5 @@ def fused_det_augment(images, boxes, valid, key, out_size: int,
     if hsv:
         out = hsv_jitter(out, k3)
     out, nboxes = random_hflip(out, nboxes, k4, flip_p)
-    out = normalize(out, mean, std)
+    out = normalize(out[..., ::-1], mean, std)   # BGR→RGB like ToTensor
     return out, nboxes, keep

@@ -92,6 +92,46 @@ def replicate_tree(mesh: Mesh, tree: Any) -> Any:
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, rep), tree)
 
 
+def tp_shardings(tree: Any, mesh: Mesh, min_elems: int = 4096) -> Any:
+    """Tensor-parallel ``NamedSharding`` tree (the scaling-book recipe:
+    annotate the weights, let GSPMD insert the collectives).
+
+    Any leaf with ndim ≥ 2 whose trailing (output-channel) dim splits
+    evenly over the ``model`` axis is sharded there — conv kernels are
+    HWIO and dense kernels IO, so this width-shards every layer's output
+    features; XLA propagates the activation shardings and places the
+    all-gather/reduce-scatter pairs on ICI.  Small leaves and 1-D
+    vectors (bias/BN) replicate — sharding them saves nothing and adds
+    reshard traffic.  Optimizer moments mirror param shapes, so the same
+    shape rule lays them out identically to their parameters.
+    """
+    n_model = mesh.shape[MODEL_AXIS]
+    rep = replicated(mesh)
+
+    def spec(x):
+        shp = getattr(x, "shape", ())
+        if (
+            n_model > 1
+            and len(shp) >= 2
+            and shp[-1] % n_model == 0
+            and int(np.prod(shp)) >= min_elems
+        ):
+            return NamedSharding(
+                mesh, P(*([None] * (len(shp) - 1)), MODEL_AXIS))
+        return rep
+
+    return jax.tree_util.tree_map(spec, tree)
+
+
+def shard_train_state(state: Any, mesh: Mesh, min_elems: int = 4096) -> Any:
+    """Lay a TrainState out for dp×tp: params / EMA / optimizer moments
+    width-sharded per :func:`tp_shardings`, everything else replicated.
+    The jitted train step keeps these shardings (committed inputs),
+    so each step's weights, grads and moments stay model-sharded."""
+    return jax.tree_util.tree_map(
+        jax.device_put, state, tp_shardings(state, mesh, min_elems))
+
+
 def process_batch_slice(global_batch_size: int) -> slice:
     """Each host feeds its slice of the global batch (per-host input
     pipelines replace DistributedSampler; SURVEY §5.8)."""

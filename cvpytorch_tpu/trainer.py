@@ -60,7 +60,12 @@ class Trainer:
         self.rng = setup_seed(int(cfg.SEED or DEFAULT_SEED))
         self.start_epoch = -1
         self.n_epochs = int(cfg.N_MAX_EPOCHS or 1)
-        self.mesh = pmesh.create_mesh()
+        # PARALLEL: {MODEL: n} — width-shard weights over a tensor-parallel
+        # mesh axis (beyond the reference's DDP; parallel/mesh.py)
+        par = cfg.PARALLEL
+        self.tp = int((par.get("MODEL", 1) if hasattr(par, "get") else 1)
+                      or 1) if par else 1
+        self.mesh = pmesh.create_mesh(model=self.tp)
         self.logger.info(
             "devices: %d (%s), mesh: %s",
             len(jax.devices()), jax.devices()[0].platform, self.mesh.shape,
@@ -100,10 +105,26 @@ class Trainer:
             self.datasets[stage] = ds
             collate = None
             if self.dictionary_name in ("DET_CLASSES", "INS_CLASSES"):
-                from .data.transforms.det_transforms import make_det_collate
+                dev_aug = stage_cfg.get("DEVICE_AUG") \
+                    if stage == "train" else None
+                if dev_aug:
+                    # mosaic/affine/HSV/flip/normalize run in-graph
+                    # (ops/augment.fused_det_augment); host only
+                    # letterboxes the LOAD_NUM=4 raw tiles
+                    from .data.transforms.det_transforms import \
+                        make_device_aug_collate
 
-                collate = make_det_collate(
-                    int(self.cfg.DATASET.MAX_BOXES or 64))
+                    size = int(dev_aug.get("SIZE", 640)) \
+                        if hasattr(dev_aug, "get") else 640
+                    collate = make_device_aug_collate(
+                        int(self.cfg.DATASET.MAX_BOXES or 64) // 4, size)
+                    self._device_aug_size = size
+                else:
+                    from .data.transforms.det_transforms import \
+                        make_det_collate
+
+                    collate = make_det_collate(
+                        int(self.cfg.DATASET.MAX_BOXES or 64))
             self.dataloaders[stage] = DataLoader(
                 ds,
                 collate_fn=collate,
@@ -171,6 +192,8 @@ class Trainer:
             else:
                 state = Checkpoints.load_weights_into(state, self.cfg.PRETRAIN_MODEL)
                 self.logger.info("loaded weights from %s", self.cfg.PRETRAIN_MODEL)
+        if self.tp > 1:
+            state = pmesh.shard_train_state(state, self.mesh)
         return state
 
     # ------------------------------------------------------------------
@@ -179,6 +202,8 @@ class Trainer:
         cfg = self.cfg
         train_loader = self.dataloaders["train"]
         first = next(iter(train_loader))
+        if getattr(self, "_device_aug_size", None):
+            first = self._apply_device_aug(first, 0)
         state = self._build_train_state(first)
 
         ema_decay = 0.0
@@ -196,6 +221,8 @@ class Trainer:
                 cfg.CHECKPOINT_DIR or "checkpoints",
                 cfg.EXPERIMENT_NAME or "exp",
                 str(cfg.USE_MODEL.CLASS).split(".")[-1],
+                # epoch-boundary saves overlap the next epoch's training
+                async_save=cfg.ASYNC_CHECKPOINT is not False,
             )
             writer = DummyWriter(
                 cfg.TENSORBOARD_LOG_DIR if cfg.TENSORBOARD else None,
@@ -225,8 +252,37 @@ class Trainer:
                 ckpts.autosave_checkpoint(state, epoch, is_best=False)
         if writer:
             writer.close()
+        if ckpts:
+            ckpts.wait()
         self.state = state
         return state
+
+    def _apply_device_aug(self, batch, step: int):
+        """Raw (B,4,S,S,3) uint8 tiles → augmented train batch, one fused
+        XLA program on device (SURVEY §7.1 device-aug north star)."""
+        import jax.numpy as jnp
+
+        from .ops.augment import fused_det_augment
+
+        size = self._device_aug_size
+        key = jax.random.fold_in(
+            jax.random.PRNGKey(int(self.cfg.SEED or 0) + 7919), step)
+        imgs, boxes, keep = fused_det_augment(
+            jnp.asarray(batch["image"]),
+            jnp.asarray(batch["target"]["boxes"]),
+            jnp.asarray(batch["target"]["valid"]), key, size)
+        B = imgs.shape[0]
+        labels = jnp.asarray(batch["target"]["labels"]).reshape(B, -1)
+        return {
+            "image": imgs,
+            "target": {
+                "boxes": boxes, "labels": labels, "valid": keep,
+                "pads": jnp.zeros((B, 2), jnp.float32),
+                "scales": jnp.ones((B, 2), jnp.float32),
+                "height": jnp.full((B,), size, jnp.int32),
+                "width": jnp.full((B,), size, jnp.int32),
+            },
+        }
 
     def train_epoch(self, epoch, state, train_step, loader, writer, display):
         """(reference: trainer.py:370-409)"""
@@ -235,7 +291,11 @@ class Trainer:
         timer.tic()
         pending = None  # (metrics, iter) — read one step late: no sync stall
         it = 0
+        dev_aug = getattr(self, "_device_aug_size", None)
         for it, batch in enumerate(loader):
+            if dev_aug:
+                batch = self._apply_device_aug(
+                    batch, epoch * len(loader) + it)
             sbatch = pmesh.shard_batch(self.mesh, batch)
             state, metrics = train_step(state, sbatch)
             if pending is not None and (pending[1] + 1) % display == 0:

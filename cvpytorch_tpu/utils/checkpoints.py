@@ -9,6 +9,7 @@ state, step and RNG are all checkpointed, so resume is exact.
 from __future__ import annotations
 
 import os
+import threading
 import time
 from typing import Any, Optional
 
@@ -27,16 +28,47 @@ def _to_host(tree):
 
 class Checkpoints:
     def __init__(self, checkpoint_dir: str, experiment_name: str = "exp",
-                 model_name: str = "model", timestamp: str | None = None):
+                 model_name: str = "model", timestamp: str | None = None,
+                 async_save: bool = False):
+        """``async_save=True`` runs the device→host fetch AND the orbax
+        write on a daemon thread so the (20-30 s on TPU) save overlaps the
+        next epoch's training; JAX arrays are immutable so the captured
+        state is a consistent snapshot.  One save in flight at a time;
+        call :meth:`wait` before reading the files back."""
         stamp = timestamp or time.strftime("%Y-%m-%d-%H-%M-%S")
         self.save_dir = os.path.abspath(
             os.path.join(checkpoint_dir, f"{experiment_name}#{model_name}#{stamp}")
         )
         os.makedirs(self.save_dir, exist_ok=True)
         self._ckptr = ocp.PyTreeCheckpointer()
+        self.async_save = async_save
+        self._pending: Optional[threading.Thread] = None
+
+    def wait(self):
+        """Block until any in-flight async save has landed on disk."""
+        if self._pending is not None:
+            self._pending.join()
+            self._pending = None
+
+    @staticmethod
+    def _snapshot(state):
+        """Device-side copy of every array leaf.  The jitted train step
+        donates the state's buffers (train_state.py:169), so an async
+        save reading the live state would hit deleted arrays once the
+        next step runs; an HBM copy is cheap and decouples the two."""
+        return jax.tree_util.tree_map(
+            lambda x: x.copy() if isinstance(x, jax.Array) else x, state)
+
+    def _launch(self, work):
+        self.wait()
+        if self.async_save:
+            self._pending = threading.Thread(target=work, daemon=True)
+            self._pending.start()
+        else:
+            work()
 
     # -- save --------------------------------------------------------------
-    def save_checkpoint(self, state, name: str = "last", extra: dict | None = None):
+    def _payload(self, state, extra: dict | None) -> dict:
         payload = {
             "step": np.asarray(state.step),
             "params": _to_host(state.params),
@@ -49,29 +81,51 @@ class Checkpoints:
             payload["ema_batch_stats"] = _to_host(state.ema_batch_stats)
         if extra:
             payload["extra"] = extra
-        path = os.path.join(self.save_dir, name)
-        self._ckptr.save(path, payload, force=True)
-        logger.info("saved checkpoint %s", path)
+        return payload
+
+    def save_checkpoint(self, state, name: str = "last", extra: dict | None = None):
+        if self.async_save:
+            state = self._snapshot(state)
+
+        def work():
+            path = os.path.join(self.save_dir, name)
+            self._ckptr.save(path, self._payload(state, extra), force=True)
+            logger.info("saved checkpoint %s", path)
+
+        self._launch(work)
 
     def autosave_checkpoint(self, state, epoch: int, is_best: bool,
                             extra: dict | None = None):
         """'last' every call; 'best' + weights-only 'deploy' on improvement
         (reference: checkpoints.py:53-74)."""
         extra = dict(extra or {}, epoch=epoch)
-        self.save_checkpoint(state, "last", extra)
-        if is_best:
-            self.save_checkpoint(state, "best", extra)
-            deploy = {
-                "params": _to_host(
-                    state.ema_params if state.ema_params is not None else state.params
-                ),
-                "batch_stats": _to_host(
-                    state.ema_batch_stats
-                    if state.ema_batch_stats is not None
-                    else state.batch_stats
-                ),
-            }
-            self._ckptr.save(os.path.join(self.save_dir, "deploy"), deploy, force=True)
+        if self.async_save:
+            state = self._snapshot(state)
+
+        def work():
+            payload = self._payload(state, extra)
+            self._ckptr.save(os.path.join(self.save_dir, "last"), payload,
+                             force=True)
+            if is_best:
+                self._ckptr.save(os.path.join(self.save_dir, "best"),
+                                 payload, force=True)
+                deploy = {
+                    "params": _to_host(
+                        state.ema_params if state.ema_params is not None
+                        else state.params
+                    ),
+                    "batch_stats": _to_host(
+                        state.ema_batch_stats
+                        if state.ema_batch_stats is not None
+                        else state.batch_stats
+                    ),
+                }
+                self._ckptr.save(os.path.join(self.save_dir, "deploy"),
+                                 deploy, force=True)
+            logger.info("saved checkpoint(s) in %s (best=%s)",
+                        self.save_dir, is_best)
+
+        self._launch(work)
 
     # -- load --------------------------------------------------------------
     @staticmethod

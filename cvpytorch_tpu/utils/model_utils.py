@@ -25,32 +25,77 @@ def swa_average(param_trees: Iterable):
 
 
 def precise_bn(model, params, batch_stats, batches, mode_kwargs=None):
-    """Population BN stats: average the per-batch mean and E[x²] over all
-    batches.  Works by running with momentum-1 updates (flax stores the
-    *batch* moments when momentum=0 — instead we read the mutated stats
-    per batch and average them on host)."""
-    means = None
-    n = 0
-    for batch in batches:
+    """EXACT population BN stats (reference precise_bn.py:59-225, fvcore
+    "Rethinking Batch in BatchNorm"): the true average of per-batch
+    mean / E[x²] over all batches, with var = E[bm² + bv] − pop_mean².
+
+    flax fixes each BatchNorm's momentum at construction, so the batch
+    moments are recovered exactly from the EMA update instead: with the
+    running stats zeroed, ``new = (1−m)·batch_moment``; the per-layer
+    momentum ``m`` is calibrated once by applying the first batch twice
+    (``ra2 = (1−m)(1+m)·b`` ⇒ ``m = ra2/ra1 − 1``, read off the strictly
+    positive var leaf).  flax stores the biased batch var, so no
+    Bessel-undo is needed (torch's is unbiased, reference :81-83).
+    Assumes equal batch sizes and that every BN layer runs each forward.
+    """
+    batches = iter(batches)
+    try:
+        first = next(batches)
+    except StopIteration:
+        return batch_stats
+    zeros = jax.tree_util.tree_map(jnp.zeros_like, batch_stats)
+
+    def run(stats, batch):
         _, mutated = model.apply(
-            {"params": params, "batch_stats": batch_stats},
+            {"params": params, "batch_stats": stats},
             batch["image"], targets=batch.get("target"), mode="train",
             mutable=["batch_stats"], rngs={"dropout": jax.random.PRNGKey(0)})
-        bs = mutated["batch_stats"]
-        # recover the batch moments from the EMA update:
-        # new = m*old + (1-m)*batch  →  batch = (new − m·old)/(1−m)
-        # flax momentum defaults vary per model; avoid inversion by
-        # accumulating `new` directly with equal weights — after K batches
-        # of small momentum this converges to the population value; for
-        # exactness we simply average the EMA-updated stats.
-        if means is None:
-            means = jax.tree_util.tree_map(lambda x: x.astype(jnp.float32), bs)
-        else:
-            means = jax.tree_util.tree_map(lambda a, b: a + b, means, bs)
+        return mutated["batch_stats"]
+
+    ra1 = run(zeros, first)
+    ra2 = run(ra1, first)      # same rngs → same batch moments
+    paths1 = jax.tree_util.tree_flatten_with_path(ra1)[0]
+    paths2 = jax.tree_util.tree_flatten_with_path(ra2)[0]
+    m_of = {}                  # BN-scope path prefix → scalar momentum
+    for (path, v1), (_, v2) in zip(paths1, paths2):
+        if str(getattr(path[-1], "key", "")) == "var":
+            r = np.asarray(v2) / np.maximum(np.asarray(v1), 1e-20)
+            m_of[path[:-1]] = float(np.clip(np.median(r) - 1.0, 0.0, 1.0))
+
+    def batch_moments(ra):
+        return jax.tree_util.tree_map_with_path(
+            lambda p, x: x.astype(jnp.float32) /
+            max(1.0 - m_of.get(p[:-1], 0.0), 1e-6), ra)
+
+    # accumulate Σ batch_mean into the 'mean' leaves and Σ (bv + bm²)
+    # into the 'var' leaves of a single tree
+    def fold(acc, mom):
+        def one(path, a, x):
+            if str(getattr(path[-1], "key", "")) != "var":
+                return a + x
+            mean_leaf = mom
+            for p in path[:-1]:
+                mean_leaf = mean_leaf[p.key]
+            return a + x + mean_leaf["mean"] ** 2
+        return jax.tree_util.tree_map_with_path(one, acc, mom)
+
+    total = jax.tree_util.tree_map(jnp.zeros_like, zeros)
+    total = fold(total, batch_moments(ra1))
+    n = 1
+    for batch in batches:
+        total = fold(total, batch_moments(run(zeros, batch)))
         n += 1
-    if n == 0:
-        return batch_stats
-    return jax.tree_util.tree_map(lambda a: a / n, means)
+
+    avg = jax.tree_util.tree_map(lambda x: x / n, total)
+
+    def finalize(path, x):
+        if str(getattr(path[-1], "key", "")) != "var":
+            return x
+        mean_leaf = avg
+        for p in path[:-1]:
+            mean_leaf = mean_leaf[p.key]
+        return x - mean_leaf["mean"] ** 2   # E[bm²+bv] − pop_mean²
+    return jax.tree_util.tree_map_with_path(finalize, avg)
 
 
 # ------------------------------------------------------ conv+BN fusion ---

@@ -102,3 +102,22 @@ def test_fused_det_augment_shapes_and_finiteness():
     assert nboxes.shape == (B, 4 * M, 4)
     assert keep.shape == (B, 4 * M)
     assert bool(keep.any())  # some boxes survive a mild warp
+
+
+def test_separable_warp_matches_gather_warp():
+    import numpy as np
+
+    from cvpytorch_tpu.ops.augment import (affine_warp,
+                                           affine_warp_separable,
+                                           invert_affine,
+                                           random_affine_matrices)
+
+    key = jax.random.PRNGKey(7)
+    B, S = 3, 48
+    imgs = jax.random.uniform(key, (B, S, S, 3)) * 255
+    ms = random_affine_matrices(key, B, S, S, degrees=0.0, translate=0.2,
+                                scale=(0.6, 1.4), shear=0.0)
+    inv = jax.vmap(invert_affine)(ms)
+    ref = np.asarray(affine_warp(imgs, inv, (S, S)))
+    sep = np.asarray(affine_warp_separable(imgs, inv, (S, S)))
+    np.testing.assert_allclose(sep, ref, atol=1e-2)

@@ -93,3 +93,41 @@ def test_save_restore_train_roundtrip(tmp_path, opt_type):
     jax.tree_util.tree_map(
         lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b)),
         loaded.params, state.ema_params)
+
+
+def test_async_save_restore_roundtrip(tmp_path):
+    """async_save=True: fetch+write on a daemon thread; wait() then
+    restore must reproduce the exact state (overlapped-epoch save)."""
+    rs = np.random.RandomState(1)
+    batch = _batch(rs)
+    cfg = CommonConfiguration({
+        "INIT_LR": 0.01, "N_MAX_EPOCHS": 2,
+        "OPTIMIZER": {"TYPE": "SGD", "MOMENTUM": 0.9},
+        "LR_SCHEDULER": {"TYPE": "CosineAnnealingLR"},
+    })
+    tx = build_optimizer(cfg, build_lr_scheduler(cfg, 4))
+    state = create_train_state(TinyModel(), tx, jax.random.PRNGKey(0),
+                               batch, use_ema=True)
+    step = make_train_step(amp=False, ema_decay=0.9)
+    state, _ = step(state, batch)
+    ck = Checkpoints(str(tmp_path), "async", "tiny", async_save=True)
+    expect_params = [np.asarray(x)
+                     for x in jax.tree_util.tree_leaves(state.params)]
+    expect_step = int(state.step)
+    ck.autosave_checkpoint(state, epoch=0, is_best=True)
+    # the next step DONATES state's buffers while the save is in flight —
+    # the snapshot inside Checkpoints must keep the save immune to that
+    state2, _ = step(state, batch)
+    ck.wait()
+    restored = Checkpoints.restore_into(state2, f"{ck.save_dir}/last")
+    for a, b in zip(jax.tree_util.tree_leaves(restored.params),
+                    expect_params):
+        np.testing.assert_array_equal(np.asarray(a), b)
+    assert int(restored.step) == expect_step
+    # and training continues after resume (opt_state containers intact)
+    state3, metrics = step(restored, batch)
+    assert np.isfinite(float(metrics["loss"]))
+    import os
+
+    assert os.path.isdir(f"{ck.save_dir}/best")
+    assert os.path.isdir(f"{ck.save_dir}/deploy")

@@ -86,3 +86,74 @@ def test_maskrcnn_contract(rng):
     assert np.isfinite(gn) and gn > 0
     _, preds = model.apply(v, imgs, tgts, mode="val")
     assert preds["boxes"].shape == (1, 100, 4)
+
+
+def test_paste_masks_box_indicator():
+    import numpy as np
+
+    from cvpytorch_tpu.ops.masks import paste_masks
+
+    B, K = 1, 2
+    masks = jnp.ones((B, K, 28, 28))
+    boxes = jnp.array([[[10.0, 20.0, 60.0, 100.0],
+                        [0.0, 0.0, 112.0, 112.0]]])
+    hs = jnp.array([112.0])
+    ws = jnp.array([112.0])
+    out = np.asarray(paste_masks(masks, boxes, hs, ws, out_size=112))
+    # detection 1 covers the whole image
+    assert out[0, 1].mean() > 0.98
+    # detection 0 matches its box indicator up to the 1-px border
+    ref = np.zeros((112, 112))
+    ref[20:100, 10:60] = 1.0
+    inter = (out[0, 0] * ref).sum()
+    union = ((out[0, 0] + ref) > 0).sum()
+    assert inter / union > 0.9, inter / union
+    # nothing outside the box
+    assert out[0, 0][:18, :].sum() == 0 and out[0, 0][:, 62:].sum() == 0
+
+
+def test_maskrcnn_val_emits_pasted_masks(rng):
+    model = MaskRCNN(
+        dictionary=({"a": 1}, {"b": 1}),
+        model_cfg=CommonConfiguration(
+            {"BACKBONE": {"name": "ResNet", "subtype": "resnet18",
+                          "out_stages": [1, 2, 3, 4]}}),
+        num_proposals=32, pre_nms_topk=128, with_mask=True)
+    imgs = jax.random.normal(rng, (1, 64, 64, 3))
+    masks = np.zeros((1, 2, 28, 28), np.float32)
+    masks[0, 0, 5:20, 5:20] = 1.0
+    tgts = {"boxes": jnp.array([[[8.0, 8, 40, 40], [0, 0, 0, 0]]]),
+            "labels": jnp.zeros((1, 2), jnp.int32),
+            "valid": jnp.array([[True, False]]),
+            "masks": jnp.asarray(masks),
+            "pads": jnp.zeros((1, 2)), "scales": jnp.ones((1, 2)),
+            "height": jnp.array([64]), "width": jnp.array([64])}
+    v = model.init({"params": rng, "dropout": rng}, imgs, tgts, mode="train")
+    _, preds = model.apply(v, imgs, tgts, mode="val")
+    assert "masks" in preds
+    B, K = preds["boxes"].shape[:2]
+    assert preds["masks"].shape == (B, K, 112, 112)
+    assert set(np.unique(np.asarray(preds["masks"]))) <= {0.0, 1.0}
+
+
+def test_coco_eval_segm_perfect_predictions():
+    import numpy as np
+    import pytest
+
+    from cvpytorch_tpu.evaluator.coco import CocoEvaluator
+
+    ev = CocoEvaluator(num_classes=2, iou_types=("bbox", "segm"))
+    gt_boxes = np.array([[[10.0, 10.0, 50.0, 60.0]]])
+    gt_masks = np.zeros((1, 1, 112, 112), np.float32)
+    gt_masks[0, 0, 10:60, 10:50] = 1.0
+    targets = {"boxes": gt_boxes, "labels": np.array([[1]]),
+               "valid": np.array([[True]]),
+               "pads": np.zeros((1, 2)), "scales": np.ones((1, 2)),
+               "masks": gt_masks}
+    preds = {"boxes": gt_boxes.copy(), "scores": np.array([[0.9]]),
+             "labels": np.array([[1]]), "valid": np.array([[True]]),
+             "masks": gt_masks.copy()}
+    ev.update(targets, preds)
+    out = ev.evaluate()
+    assert out["bbox_mAP"] == pytest.approx(1.0)
+    assert out["segm_mAP"] == pytest.approx(1.0)

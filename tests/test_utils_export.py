@@ -82,3 +82,49 @@ def test_stablehlo_export_roundtrip(tmp_path, rng):
     got = exported.call(x)
     ref = m.apply(v, x)
     assert np.allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+
+
+def test_precise_bn_exact_population_moments(rng):
+    """precise_bn must reproduce the reference estimator exactly
+    (precise_bn.py:59-91): pop_mean = avg batch mean,
+    pop_var = avg(bm² + bv) − pop_mean² — not an EMA approximation."""
+    from cvpytorch_tpu.utils.model_utils import precise_bn
+
+    class TinyBN(nn.Module):
+        @nn.compact
+        def __call__(self, images, targets=None, mode="train"):
+            x = nn.Conv(4, (3, 3), use_bias=False)(images)
+            x = nn.BatchNorm(use_running_average=(mode != "train"),
+                             momentum=0.9, epsilon=1e-5)(x)
+            return x
+
+    model = TinyBN()
+    x0 = jax.random.normal(rng, (2, 8, 8, 3))
+    v = model.init({"params": rng}, x0)
+    params, stats = v["params"], v["batch_stats"]
+
+    batches = [{"image": jax.random.normal(jax.random.fold_in(rng, i),
+                                           (2, 8, 8, 3)) * (1.0 + 0.3 * i)
+                + 0.1 * i}
+               for i in range(4)]
+    out = precise_bn(model, params, stats, batches)
+
+    # hand-compute the population stats from the conv activations
+    bms, bvs = [], []
+    for b in batches:
+        act = model.apply({"params": params, "batch_stats": stats},
+                          b["image"], mode="val")
+        # undo eval-BN to recover raw conv output
+        m0 = stats["BatchNorm_0"]["mean"]
+        v0 = stats["BatchNorm_0"]["var"]
+        sc = v["params"]["BatchNorm_0"]["scale"]
+        bi = v["params"]["BatchNorm_0"]["bias"]
+        raw = (act - bi) / sc * jnp.sqrt(v0 + 1e-5) + m0
+        bms.append(np.asarray(raw.mean((0, 1, 2))))
+        bvs.append(np.asarray(raw.var((0, 1, 2))))
+    pm = np.mean(bms, 0)
+    pv = np.mean([m * m + v_ for m, v_ in zip(bms, bvs)], 0) - pm * pm
+    np.testing.assert_allclose(np.asarray(out["BatchNorm_0"]["mean"]), pm,
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out["BatchNorm_0"]["var"]), pv,
+                               rtol=1e-4, atol=1e-5)
