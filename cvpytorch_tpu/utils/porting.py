@@ -179,3 +179,30 @@ MBV2_WRAPPER_RULES = [
     (r"fc\.1", r"fc"),
     (r"fc\.0", r""),  # dropout has no params; defensive
 ]
+
+
+# reference src/models/backbones/det/yolov5_csp_darknet.py +
+# src/models/necks/yolov5_neck.py + src/models/detects/yolov5_detect.py
+# (the reference's top-level YOLOv5 wrapper is unbuildable upstream — it
+# injects depth_mul/width_mul kwargs no registered backbone accepts — so
+# porting targets the three chained modules) → models/yolov5.py
+YOLOV5_RULES = [
+    (r"backbone\.stem\.(conv|bn)", r"backbone/stem/\1"),
+    (r"backbone\.stage(\d)\.0\.(conv|bn)", r"backbone/stage\1_down/\2"),
+    (r"backbone\.stage(\d)\.1\.conv(\d)\.(conv|bn)",
+     r"backbone/stage\1_csp/conv\2/\3"),
+    (r"backbone\.stage(\d)\.1\.m\.(\d+)\.conv(\d)\.(conv|bn)",
+     r"backbone/stage\1_csp/m\2/conv\3/\4"),
+    (r"backbone\.stage4\.2\.conv(\d)\.(conv|bn)", r"backbone/sppf/conv\1/\2"),
+    (r"neck\.up_(\d)\.conv\.(conv|bn)", r"neck/up\1/reduce/\2"),
+    (r"neck\.up_(\d)\.fuse\.cv(\d)\.(conv|bn)", r"neck/up\1/csp/conv\2/\3"),
+    (r"neck\.up_(\d)\.fuse\.m\.(\d+)\.cv(\d)\.(conv|bn)",
+     r"neck/up\1/csp/m\2/conv\3/\4"),
+    (r"neck\.down_(\d)\.down\.(conv|bn)", r"neck/down\1/down/\2"),
+    (r"neck\.down_(\d)\.fuse\.cv(\d)\.(conv|bn)",
+     r"neck/down\1/csp/conv\2/\3"),
+    (r"neck\.down_(\d)\.fuse\.m\.(\d+)\.cv(\d)\.(conv|bn)",
+     r"neck/down\1/csp/m\2/conv\3/\4"),
+    (r"detect\.m\.(\d)", r"detect/m\1"),
+    (r"detect", r""),  # anchors buffer — constants in our decode
+]
