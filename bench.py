@@ -118,5 +118,81 @@ def main():
     }))
 
 
+def pipeline_bench():
+    """`python bench.py --pipeline`: host input-pipeline throughput —
+    real JPEG decode + letterbox/mosaic transforms + padded collate
+    through the threaded DataLoader, no device work.  Proves the loader
+    can out-feed the ~800 img/s train step (BASELINE.md input-pipeline
+    sufficiency; reference pipeline is torch DataLoader + cv2)."""
+    import os
+    import tempfile
+
+    import cv2
+
+    from cvpytorch_tpu.config import CommonConfiguration
+    from cvpytorch_tpu.data.datasets.coco import CocoDetection
+    from cvpytorch_tpu.data.loader import DataLoader
+    from cvpytorch_tpu.data.transforms import build_transforms
+    from cvpytorch_tpu.data.transforms.det_transforms import make_det_collate
+
+    tmp = tempfile.mkdtemp(prefix="bench_pipe_")
+    rng = np.random.RandomState(0)
+    n_img, hw = 256, (480, 640)
+    images, anns = [], []
+    for i in range(n_img):
+        img = rng.randint(0, 255, (*hw, 3), np.uint8)
+        cv2.imwrite(os.path.join(tmp, f"{i}.jpg"), img)
+        images.append({"id": i, "file_name": f"{i}.jpg",
+                       "height": hw[0], "width": hw[1]})
+        for j in range(8):
+            x, y = rng.rand(2) * 300
+            w, h = rng.rand(2) * 100 + 16
+            anns.append({"id": i * 8 + j, "image_id": i, "category_id": 1,
+                         "bbox": [float(x), float(y), float(w), float(h)],
+                         "area": float(w * h), "iscrowd": 0})
+    ann_file = os.path.join(tmp, "ann.json")
+    json.dump({"images": images, "annotations": anns,
+               "categories": [{"id": 1, "name": "thing"}]},
+              open(ann_file, "w"))
+
+    data_cfg = CommonConfiguration({
+        "IMG_DIR": tmp, "ANN_FILE": ann_file, "LOAD_NUM": 4,
+        "TRANSFORMS": None,
+    })
+    ds = CocoDetection(data_cfg=data_cfg,
+                       dictionary=[{"thing": 1.0}], stage="train")
+    ds.transform = build_transforms("DET_CLASSES", {
+        "RandomAffineWithMosaic": {"degrees": 0.0, "translate": 0.1,
+                                   "scale": 0.5, "size": [640, 640]},
+        "RandomHorizontalFlip": {"p": 0.5},
+        "ColorHSV": {"hue": 0.015, "saturation": 0.7, "value": 0.4},
+        "Resize": {"size": [640, 640], "keep_ratio": True},
+        "ToTensor": {},
+        "Normalize": {"mean": [0, 0, 0], "std": [1, 1, 1]},
+    }, "train")
+    B = 32
+    loader = DataLoader(ds, batch_size=B, shuffle=True, num_workers=8,
+                        collate_fn=make_det_collate(64), drop_last=True)
+    for _ in loader:      # warm epoch: JPEG page cache + thread spin-up
+        pass
+    t0 = time.perf_counter()
+    n = 0
+    for _ in range(2):
+        for batch in loader:
+            n += len(batch["image"])
+    dt = time.perf_counter() - t0
+    print(json.dumps({
+        "metric": "input_pipeline_images_per_sec",
+        "value": round(n / dt, 2),
+        "unit": "images/sec (host only, jpeg+mosaic-load4+affine+collate)",
+        "vs_baseline": 0.0,
+    }))
+
+
 if __name__ == "__main__":
-    main()
+    import sys
+
+    if "--pipeline" in sys.argv:
+        pipeline_bench()
+    else:
+        main()

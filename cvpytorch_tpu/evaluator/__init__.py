@@ -20,6 +20,11 @@ def build_evaluator(cfg, dataset=None):
         from . import segmentation  # noqa: F401
     if name in ("coco_detection", "coco"):
         from . import coco  # noqa: F401
+    if name == "coco_keypoints":
+        # reference evaluator/__init__.py:30-31: bbox + OKS keypoints
+        from . import coco  # noqa: F401
+        name = "coco_detection"
+        kwargs.setdefault("iou_types", ("bbox", "keypoints"))
     if name == "voc_detection":
         from . import voc  # noqa: F401
     if name == "keypoint":

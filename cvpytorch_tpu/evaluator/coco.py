@@ -35,6 +35,13 @@ AREA_RNG = {
     "large": (96.0 ** 2, 1e10),
 }
 AREA_KEYS = ("all", "small", "medium", "large")
+# keypoint protocol (pycocotools kpt Params): maxDets [20], no 'small'
+KPT_MAX_DETS = (20,)
+KPT_AREA_KEYS = ("all", "medium", "large")
+# per-keypoint OKS constants for the 17 COCO keypoints (cocoeval.py)
+COCO_SIGMAS = np.array([
+    .26, .25, .25, .35, .35, .79, .79, .72, .72, .62, .62,
+    1.07, 1.07, .87, .87, .89, .89]) / 10.0
 
 METRIC_NAMES = (
     "mAP", "AP_50", "AP_75", "AP_small", "AP_medium", "AP_large",
@@ -73,6 +80,42 @@ def _mask_iou(dt_masks, gt_masks, crowd):
     union = area_d[:, None] + area_g[None, :] - inter
     denom = np.where(crowd[None, :], area_d[:, None], union)
     return inter / np.maximum(denom, 1e-9)
+
+
+def _oks_iou(dt_kpts, gt_kpts, gt_boxes, gt_areas, crowd):
+    """Object-keypoint-similarity matrix (D, G)
+    (pycocotools cocoeval.computeOks).  gt_areas: annotation areas
+    (box areas here — the dataset carries no polygon area); visibility
+    v>0 gates which keypoints count; a GT with no labeled keypoint falls
+    back to a distance-to-expanded-box penalty."""
+    D, G = len(dt_kpts), len(gt_kpts)
+    out = np.zeros((D, G))
+    if D == 0 or G == 0:
+        return out
+    K = gt_kpts.shape[1]
+    sigmas = COCO_SIGMAS if K == len(COCO_SIGMAS) else \
+        np.full(K, float(COCO_SIGMAS.mean()))
+    var2 = (sigmas * 2.0) ** 2
+    for j in range(G):
+        xg, yg, vg = gt_kpts[j, :, 0], gt_kpts[j, :, 1], gt_kpts[j, :, 2]
+        k1 = int((vg > 0).sum())
+        x1, y1, x2, y2 = gt_boxes[j]
+        w, h = x2 - x1, y2 - y1
+        for i in range(D):
+            xd, yd = dt_kpts[i, :, 0], dt_kpts[i, :, 1]
+            if k1 > 0:
+                dx, dy = xd - xg, yd - yg
+            else:
+                dx = np.maximum(0, (x1 - w) - xd) + np.maximum(
+                    0, xd - (x2 + w))
+                dy = np.maximum(0, (y1 - h) - yd) + np.maximum(
+                    0, yd - (y2 + h))
+            e = (dx ** 2 + dy ** 2) / var2 / (
+                gt_areas[j] + np.spacing(1)) / 2.0
+            if k1 > 0:
+                e = e[vg > 0]
+            out[i, j] = np.exp(-e).sum() / e.shape[0]
+    return out
 
 
 def _evaluate_img(ious, gt_ignore_base, gt_crowd, gt_areas, dt_areas,
@@ -119,20 +162,24 @@ class COCOEvalNative:
     """Accumulates per-image records and produces the 12 COCO stats."""
 
     def __init__(self, num_classes: int, iou_type: str = "bbox"):
-        assert iou_type in ("bbox", "segm")
+        assert iou_type in ("bbox", "segm", "keypoints")
         self.num_classes = num_classes
         self.iou_type = iou_type
+        kpt = iou_type == "keypoints"
+        self.max_dets = KPT_MAX_DETS if kpt else MAX_DETS
+        self.area_keys = KPT_AREA_KEYS if kpt else AREA_KEYS
         self.reset()
 
     def reset(self):
         # records[c][area] = list over images of
         #   (scores (D,), dtm (T,D), dtig (T,D), npig)
         self.records = [
-            {a: [] for a in AREA_KEYS} for _ in range(self.num_classes)]
+            {a: [] for a in self.area_keys} for _ in range(self.num_classes)]
         self.any_gt = np.zeros(self.num_classes, bool)
 
     def add_image(self, gt_boxes, gt_labels, det_boxes, det_scores,
-                  det_labels, gt_crowd=None, gt_masks=None, det_masks=None):
+                  det_labels, gt_crowd=None, gt_masks=None, det_masks=None,
+                  gt_kpts=None, det_kpts=None):
         """All arrays unpadded, boxes xyxy original-image pixels."""
         gt_boxes = np.asarray(gt_boxes, np.float64).reshape(-1, 4)
         gt_labels = np.asarray(gt_labels).reshape(-1)
@@ -151,21 +198,27 @@ class COCOEvalNative:
                 continue
             gb, crowd = gt_boxes[g_sel], gt_crowd[g_sel]
             db, ds = det_boxes[d_sel], det_scores[d_sel]
-            order = np.argsort(-ds, kind="stable")[:MAX_DETS[-1]]
+            order = np.argsort(-ds, kind="stable")[:self.max_dets[-1]]
             db, ds = db[order], ds[order]
+            box_areas = lambda b: (np.clip(b[:, 2] - b[:, 0], 0, None)
+                                   * np.clip(b[:, 3] - b[:, 1], 0, None))
             if self.iou_type == "segm":
                 gm = np.asarray(gt_masks)[g_sel]
                 dm = np.asarray(det_masks)[d_sel][order]
                 ious = _mask_iou(dm, gm, crowd)
                 gt_areas = gm.reshape(len(gm), -1).astype(bool).sum(-1).astype(float)
                 dt_areas = dm.reshape(len(dm), -1).astype(bool).sum(-1).astype(float)
+            elif self.iou_type == "keypoints":
+                gk = np.asarray(gt_kpts)[g_sel]
+                dk = np.asarray(det_kpts)[d_sel][order]
+                gt_areas = box_areas(gb)
+                dt_areas = box_areas(db)
+                ious = _oks_iou(dk, gk, gb, gt_areas, crowd)
             else:
                 ious = _box_iou(db, gb, crowd)
-                gt_areas = (np.clip(gb[:, 2] - gb[:, 0], 0, None)
-                            * np.clip(gb[:, 3] - gb[:, 1], 0, None))
-                dt_areas = (np.clip(db[:, 2] - db[:, 0], 0, None)
-                            * np.clip(db[:, 3] - db[:, 1], 0, None))
-            for a in AREA_KEYS:
+                gt_areas = box_areas(gb)
+                dt_areas = box_areas(db)
+            for a in self.area_keys:
                 dtm, dtig, npig = _evaluate_img(
                     ious, gt_crowd[g_sel].copy(), crowd, gt_areas, dt_areas,
                     AREA_RNG[a])
@@ -212,20 +265,20 @@ class COCOEvalNative:
     def summarize(self) -> dict:
         C = self.num_classes
         T = len(IOU_THRS)
-        # precision[c] per (area, maxdet) — only 'all'×{1,10,100} and
-        # small/medium/large×100 are needed for the 12 stats
+        # precision[c] per (area, maxdet) — only 'all'×maxDets and
+        # area×maxDets[-1] cells feed the summary
         cells_ap = {}   # (area) -> (C, T) with nan
         cells_ar = {}   # (area, maxdet) -> (C, T)
-        for area in AREA_KEYS:
+        for area in self.area_keys:
             ap_mat = np.full((C, T), np.nan)
             for c in range(C):
-                ap, _ = self._pr_curves(c, area, MAX_DETS[-1])
+                ap, _ = self._pr_curves(c, area, self.max_dets[-1])
                 if ap is not None:
                     ap_mat[c] = ap
             cells_ap[area] = ap_mat
-        for area in AREA_KEYS:
-            for md in MAX_DETS:
-                if area != "all" and md != MAX_DETS[-1]:
+        for area in self.area_keys:
+            for md in self.max_dets:
+                if area != "all" and md != self.max_dets[-1]:
                     continue
                 ar_mat = np.full((C, T), np.nan)
                 for c in range(C):
@@ -243,16 +296,14 @@ class COCOEvalNative:
             "mAP": mean(cells_ap["all"]),
             "AP_50": mean(cells_ap["all"][:, i50]),
             "AP_75": mean(cells_ap["all"][:, i75]),
-            "AP_small": mean(cells_ap["small"]),
-            "AP_medium": mean(cells_ap["medium"]),
-            "AP_large": mean(cells_ap["large"]),
-            "Recall_1": mean(cells_ar[("all", 1)]),
-            "Recall_10": mean(cells_ar[("all", 10)]),
-            "Recall_100": mean(cells_ar[("all", 100)]),
-            "Recall_small": mean(cells_ar[("small", 100)]),
-            "Recall_medium": mean(cells_ar[("medium", 100)]),
-            "Recall_large": mean(cells_ar[("large", 100)]),
         }
+        for area in self.area_keys[1:]:
+            stats[f"AP_{area}"] = mean(cells_ap[area])
+        for md in self.max_dets:
+            stats[f"Recall_{md}"] = mean(cells_ar[("all", md)])
+        for area in self.area_keys[1:]:
+            stats[f"Recall_{area}"] = mean(
+                cells_ar[(area, self.max_dets[-1])])
         allc = cells_ap["all"]
         self._per_class_ap = np.where(
             np.isnan(allc).all(axis=1), np.nan,
@@ -308,12 +359,17 @@ class CocoEvaluator(BaseEvaluator):
                 gb[:, [0, 2]] = (gb[:, [0, 2]] - pads[i, 0]) / scales[i, 0]
                 gb[:, [1, 3]] = (gb[:, [1, 3]] - pads[i, 1]) / scales[i, 1]
             pv = p_valid[i]
-            kw = {}
             for t, ev in self._evals.items():
+                kw = {}
                 if t == "segm":
                     kw = dict(
                         gt_masks=np.asarray(targets["masks"])[i][gv],
                         det_masks=np.asarray(preds["masks"])[i][pv])
+                elif t == "keypoints":
+                    # (M, K, 3) / (D, K, 3) in original-image pixels
+                    kw = dict(
+                        gt_kpts=np.asarray(targets["keypoints"])[i][gv],
+                        det_kpts=np.asarray(preds["keypoints"])[i][pv])
                 ev.add_image(
                     gb, t_labels[i][gv], p_boxes[i][pv], p_scores[i][pv],
                     p_labels[i][pv], gt_crowd=t_crowd[i][gv], **kw)

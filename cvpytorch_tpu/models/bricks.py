@@ -114,6 +114,7 @@ class DepthwiseSeparableConv(nn.Module):
     out_channels: int
     kernel_size: int = 3
     stride: int = 1
+    dilation: int = 1
     act: str | None = "relu"
     bn_momentum: float = 0.97
     bn_eps: float = 1e-3
@@ -122,7 +123,8 @@ class DepthwiseSeparableConv(nn.Module):
     def __call__(self, x, train: bool = False):
         in_ch = x.shape[-1]
         x = ConvBNAct(
-            in_ch, self.kernel_size, self.stride, groups=in_ch, act=self.act,
+            in_ch, self.kernel_size, self.stride, groups=in_ch,
+            dilation=self.dilation, act=self.act,
             bn_momentum=self.bn_momentum, bn_eps=self.bn_eps, name="dw",
         )(x, train)
         x = ConvBNAct(

@@ -47,13 +47,14 @@ class NanoDetPlusHead(nn.Module):
         no = self.num_classes + 4 * (self.reg_max + 1)
         for i, x in enumerate(feats):
             for s in range(self.stacked_convs):
-                ch = self.feat_channels
-                x = ConvBNAct(ch, self.kernel_size, groups=ch if x.shape[-1] == ch else 1,
+                # reference DepthwiseConvModule (modules/convs.py:136):
+                # depthwise k×k + BN + act, then pointwise 1×1 + BN + act
+                in_ch = x.shape[-1]
+                x = ConvBNAct(in_ch, self.kernel_size, groups=in_ch,
                               act=self.act, **_BN,
-                              name=f"convs{i}_{s}_dw")(x, train) \
-                    if x.shape[-1] == ch else \
-                    ConvBNAct(ch, self.kernel_size, act=self.act, **_BN,
-                              name=f"convs{i}_{s}")(x, train)
+                              name=f"convs{i}_{s}_dw")(x, train)
+                x = ConvBNAct(self.feat_channels, 1, act=self.act, **_BN,
+                              name=f"convs{i}_{s}_pw")(x, train)
             y = nn.Conv(no, (1, 1), name=f"gfl_cls{i}")(x)
             b, h, w, _ = y.shape
             outs.append(y.reshape(b, h * w, no))

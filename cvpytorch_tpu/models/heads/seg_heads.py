@@ -13,7 +13,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ...registry import HEADS
-from ..bricks import ConvBNAct
+from ..bricks import ConvBNAct, DepthwiseSeparableConv
 
 _BN = dict(bn_momentum=0.9, bn_eps=1e-5)
 
@@ -45,51 +45,56 @@ class FCNHead(nn.Module):
         return nn.Conv(self.num_classes, (1, 1), name="cls")(x)
 
 
-class ASPP(nn.Module):
-    """Atrous spatial pyramid pooling (reference: modules/aspp.py:37)."""
-
-    channels: int = 256
-    dilations: Sequence[int] = (1, 6, 12, 18)
-
-    @nn.compact
-    def __call__(self, x, train: bool = False):
-        branches = []
-        for i, d in enumerate(self.dilations):
-            branches.append(
-                ConvBNAct(self.channels, 1 if d == 1 else 3, dilation=d,
-                          act="relu", **_BN, name=f"aspp{i}")(x, train)
-            )
-        # image-level pooling branch
-        gp = jnp.mean(x, axis=(1, 2), keepdims=True)
-        gp = ConvBNAct(self.channels, 1, act="relu", **_BN,
-                       name="image_pool")(gp, train)
-        gp = jnp.broadcast_to(gp, branches[0].shape)
-        branches.append(gp)
-        y = jnp.concatenate(branches, axis=-1)
-        return ConvBNAct(self.channels, 1, act="relu", **_BN,
-                         name="project")(y, train)
+def _aspp_branches(x, channels, dilations, separable, train):
+    """Reference ASPP branch list (deeplabv3_head.py:37-46; V3+ swaps
+    dilated branches for depthwise-separable, deeplabv3plus_head.py:14-29).
+    A separate global-pool `proj` branch is prepended by the heads."""
+    outs = []
+    for i, d in enumerate(dilations):
+        if d == 1:
+            b = ConvBNAct(channels, 1, act="relu", **_BN,
+                          name=f"aspp{i}")(x, train)
+        elif separable:
+            b = DepthwiseSeparableConv(channels, 3, dilation=d, act="relu",
+                                       **_BN, name=f"aspp{i}")(x, train)
+        else:
+            b = ConvBNAct(channels, 3, dilation=d, act="relu", **_BN,
+                          name=f"aspp{i}")(x, train)
+        outs.append(b)
+    return outs
 
 
 @HEADS.register(name="Deeplabv3Head")
 class Deeplabv3Head(nn.Module):
-    """(reference: heads/seg/deeplabv3_head.py)"""
+    """(reference: heads/seg/deeplabv3_head.py:50-77 — global-pool proj +
+    ASPP + 3×3 reduce + classify)."""
 
     num_classes: int = 19
     channels: int = 256
     dilations: Sequence[int] = (1, 12, 24, 36)
     dropout: float = 0.1
+    separable: bool = False
 
     @nn.compact
     def __call__(self, feats, train: bool = False):
-        x = ASPP(self.channels, self.dilations, name="aspp")(feats[-1], train)
+        x = feats[-1]
+        gp = jnp.mean(x, axis=(1, 2), keepdims=True)
+        gp = ConvBNAct(self.channels, 1, act="relu", **_BN,
+                       name="proj")(gp, train)
+        gp = resize_bilinear(gp, x.shape[1:3])
+        outs = [gp] + _aspp_branches(x, self.channels, self.dilations,
+                                     self.separable, train)
+        x = jnp.concatenate(outs, axis=-1)
+        x = ConvBNAct(self.channels, 3, act="relu", **_BN,
+                      name="reduce")(x, train)
         x = nn.Dropout(self.dropout, deterministic=not train)(x)
         return nn.Conv(self.num_classes, (1, 1), name="cls")(x)
 
 
 @HEADS.register(name="Deeplabv3PlusHead")
 class Deeplabv3PlusHead(nn.Module):
-    """ASPP on C5 + low-level C2 fusion (reference:
-    heads/seg/deeplabv3plus_head.py:33)."""
+    """Separable ASPP on C5 + low-level C2 fusion (reference:
+    heads/seg/deeplabv3plus_head.py:33-69)."""
 
     num_classes: int = 19
     channels: int = 256
@@ -100,13 +105,23 @@ class Deeplabv3PlusHead(nn.Module):
     @nn.compact
     def __call__(self, feats, train: bool = False):
         low, high = feats[0], feats[-1]
-        x = ASPP(self.channels, self.dilations, name="aspp")(high, train)
+        gp = jnp.mean(high, axis=(1, 2), keepdims=True)
+        gp = ConvBNAct(self.channels, 1, act="relu", **_BN,
+                       name="proj")(gp, train)
+        gp = resize_bilinear(gp, high.shape[1:3])
+        outs = [gp] + _aspp_branches(high, self.channels, self.dilations,
+                                     True, train)
+        x = jnp.concatenate(outs, axis=-1)
+        x = ConvBNAct(self.channels, 3, act="relu", **_BN,
+                      name="reduce")(x, train)
         low = ConvBNAct(self.low_channels, 1, act="relu", **_BN,
                         name="low_proj")(low, train)
         x = resize_bilinear(x, low.shape[1:3])
         x = jnp.concatenate([x, low], axis=-1)
-        x = ConvBNAct(self.channels, 3, act="relu", **_BN, name="fuse1")(x, train)
-        x = ConvBNAct(self.channels, 3, act="relu", **_BN, name="fuse2")(x, train)
+        x = DepthwiseSeparableConv(self.channels, 3, act="relu", **_BN,
+                                   name="fuse0")(x, train)
+        x = DepthwiseSeparableConv(self.channels, 3, act="relu", **_BN,
+                                   name="fuse1")(x, train)
         x = nn.Dropout(self.dropout, deterministic=not train)(x)
         return nn.Conv(self.num_classes, (1, 1), name="cls")(x)
 

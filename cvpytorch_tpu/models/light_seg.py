@@ -1,6 +1,5 @@
 """Self-contained lightweight segmentation models
-(reference: src/models/segnet.py:71, src/models/enet.py:152,
-src/models/backbones/seg/stdcnet.py + heads/seg/stdc_head.py +
+(reference: src/models/backbones/seg/stdcnet.py + heads/seg/stdc_head.py +
 DetailAggregateLoss seg_loss.py:325).
 
 All follow the universal forward contract and use the shared seg losses."""
@@ -21,42 +20,6 @@ from .losses.seg_loss import cross_entropy_2d, ohem_cross_entropy_2d
 _BN = dict(bn_momentum=0.9, bn_eps=1e-5)
 
 
-@MODELS.register(name="SegNet")
-class SegNet(nn.Module):
-    """VGG-style encoder/decoder (reference: segnet.py:71).  The
-    max-unpooling of the original is replaced by bilinear upsampling —
-    pooling indices don't map to XLA; accuracy-equivalent in practice."""
-
-    dictionary: Sequence[Any] = ()
-    model_cfg: Any = None
-    widths: Sequence[int] = (64, 128, 256, 512, 512)
-
-    def setup(self):
-        names, weights = dictionary_to_names_weights(list(self.dictionary))
-        self.num_classes = len(names)
-        self._w = tuple(weights)
-
-    @nn.compact
-    def __call__(self, images, targets=None, mode: str = "infer"):
-        train = mode == "train"
-        x = images
-        for i, ch in enumerate(self.widths):
-            for j in range(2 if i < 2 else 3):
-                x = ConvBNAct(ch, 3, act="relu", **_BN,
-                              name=f"enc{i}_{j}")(x, train)
-            x = nn.max_pool(x, (2, 2), strides=(2, 2))
-        for i, ch in enumerate(reversed(self.widths)):
-            x = resize_bilinear(x, (x.shape[1] * 2, x.shape[2] * 2))
-            for j in range(2 if i >= 3 else 3):
-                out_ch = ch if j < 1 else (
-                    list(reversed(self.widths)) + [self.widths[0]])[i + 1] \
-                    if j == (1 if i >= 3 else 2) else ch
-                x = ConvBNAct(out_ch, 3, act="relu", **_BN,
-                              name=f"dec{i}_{j}")(x, train)
-        logits = nn.Conv(self.num_classes, (1, 1), name="head")(x)
-        return _seg_out(logits, targets, mode, self._w)
-
-
 def _seg_out(logits, targets, mode, class_weights):
     if mode == "infer":
         return jnp.argmax(logits, -1)
@@ -66,81 +29,6 @@ def _seg_out(logits, targets, mode, class_weights):
     if mode == "train":
         return loss, losses
     return losses, jnp.argmax(logits, -1)
-
-
-class ENetBottleneck(nn.Module):
-    out_channels: int
-    downsample: bool = False
-    dilation: int = 1
-    asymmetric: bool = False
-    upsample: bool = False
-    drop: float = 0.01
-
-    @nn.compact
-    def __call__(self, x, train: bool = False):
-        mid = self.out_channels // 4
-        main = x
-        if self.downsample:
-            main = nn.max_pool(x, (2, 2), strides=(2, 2))
-        if self.upsample:
-            main = resize_bilinear(x, (x.shape[1] * 2, x.shape[2] * 2))
-        if main.shape[-1] != self.out_channels:
-            main = ConvBNAct(self.out_channels, 1, act=None, **_BN,
-                             name="skip")(main, train)
-        h = ConvBNAct(mid, 2 if self.downsample else 1,
-                      2 if self.downsample else 1, act="relu", **_BN,
-                      name="reduce")(x, train)
-        if self.upsample:
-            h = resize_bilinear(h, (h.shape[1] * 2, h.shape[2] * 2))
-            h = ConvBNAct(mid, 3, act="relu", **_BN, name="mid")(h, train)
-        elif self.asymmetric:
-            h = ConvBNAct(mid, (5, 1), act="relu", **_BN, name="mid_a")(h, train)
-            h = ConvBNAct(mid, (1, 5), act="relu", **_BN, name="mid_b")(h, train)
-        else:
-            h = ConvBNAct(mid, 3, dilation=self.dilation, act="relu", **_BN,
-                          name="mid")(h, train)
-        h = ConvBNAct(self.out_channels, 1, act=None, **_BN,
-                      name="expand")(h, train)
-        h = nn.Dropout(self.drop, deterministic=not train)(h)
-        return nn.relu(main + h)
-
-
-@MODELS.register(name="ENet")
-class ENet(nn.Module):
-    """(reference: enet.py:152)"""
-
-    dictionary: Sequence[Any] = ()
-    model_cfg: Any = None
-
-    def setup(self):
-        names, weights = dictionary_to_names_weights(list(self.dictionary))
-        self.num_classes = len(names)
-        self._w = tuple(weights)
-
-    @nn.compact
-    def __call__(self, images, targets=None, mode: str = "infer"):
-        train = mode == "train"
-        # initial: 3x3/2 conv(13) || maxpool(3) concat → 16
-        c = ConvBNAct(13, 3, 2, act="relu", **_BN, name="init_conv")(
-            images, train)
-        p = nn.max_pool(images, (2, 2), strides=(2, 2))
-        x = jnp.concatenate([c, p], -1)
-        x = ENetBottleneck(64, downsample=True, name="b1_0")(x, train)
-        for i in range(4):
-            x = ENetBottleneck(64, name=f"b1_{i+1}")(x, train)
-        x = ENetBottleneck(128, downsample=True, name="b2_0")(x, train)
-        for i, (dil, asym) in enumerate(
-                [(1, False), (2, False), (1, True), (4, False),
-                 (1, False), (8, False), (1, True), (16, False)]):
-            x = ENetBottleneck(128, dilation=dil, asymmetric=asym,
-                               name=f"b2_{i+1}")(x, train)
-        x = ENetBottleneck(64, upsample=True, name="b4_0")(x, train)
-        x = ENetBottleneck(64, name="b4_1")(x, train)
-        x = ENetBottleneck(16, upsample=True, name="b5_0")(x, train)
-        x = ENetBottleneck(16, name="b5_1")(x, train)
-        x = nn.ConvTranspose(self.num_classes, (2, 2), strides=(2, 2),
-                             name="head")(x)
-        return _seg_out(x, targets, mode, self._w)
 
 
 class STDCCatBottleneck(nn.Module):

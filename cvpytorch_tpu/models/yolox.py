@@ -181,7 +181,18 @@ class YOLOX(nn.Module):
         subtype = get("TYPE") or "yolox_s"
         size = subtype.split("_")[-1]
         dm, wm = SIZE_CFG.get(size, (0.33, 0.5))
-        self.backbone = YOLOXCSPDarknet(depth_mul=dm, width_mul=wm)
+        bb_cfg = get("BACKBONE") or {}
+        bget = bb_cfg.get if hasattr(bb_cfg, "get") else (lambda k, d=None: d)
+        is_pai = self.use_asff or "pai" in subtype.lower()
+        if is_pai or "EfficientRep" in str(bget("name") or ""):
+            # PAI-YOLOX swaps in a RepVGG-block backbone
+            # (reference backbones/det/yolox_pai_efficient_rep.py:16,
+            # num_blocks [6,12,18,6] — same plan as our EfficientRep)
+            from .yolov6 import EfficientRep
+
+            self.backbone = EfficientRep(depth_mul=dm, width_mul=wm)
+        else:
+            self.backbone = YOLOXCSPDarknet(depth_mul=dm, width_mul=wm)
         self.neck_up1 = UpsampleFuse(make_divisible(512 * wm),
                                      make_round(3, dm))
         self.neck_up2 = UpsampleFuse(make_divisible(256 * wm),

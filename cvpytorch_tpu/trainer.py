@@ -254,6 +254,9 @@ class Trainer:
             writer.close()
         if ckpts:
             ckpts.wait()
+        if getattr(self, "_prof_active", False):
+            jax.profiler.stop_trace()
+            self._prof_active = False
         self.state = state
         return state
 
@@ -284,6 +287,28 @@ class Trainer:
             },
         }
 
+    def _profiler_hook(self, step: int):
+        """YAML-driven jax.profiler trace (SURVEY §5.1 TPU plan; the
+        reference has no profiler hook at all).
+        ``PROFILER: {DIR: 'traces', START_STEP: 20, NUM_STEPS: 5}``
+        captures XLA+host timelines viewable in TensorBoard/Perfetto."""
+        prof = self.cfg.PROFILER
+        if not prof or not hasattr(prof, "get"):
+            return
+        start = prof.get("START_STEP")
+        start = 10 if start is None else int(start)
+        num = prof.get("NUM_STEPS")
+        num = 5 if num is None else int(num)
+        if step == start:
+            jax.profiler.start_trace(str(prof.get("DIR", "traces")))
+            self._prof_active = True
+            self.logger.info("profiler trace started @ step %d", step)
+        elif step == start + num and getattr(self, "_prof_active", False):
+            jax.profiler.stop_trace()
+            self._prof_active = False
+            self.logger.info("profiler trace written to %s",
+                             prof.get("DIR", "traces"))
+
     def train_epoch(self, epoch, state, train_step, loader, writer, display):
         """(reference: trainer.py:370-409)"""
         loss_logger = LossLogger()
@@ -293,9 +318,10 @@ class Trainer:
         it = 0
         dev_aug = getattr(self, "_device_aug_size", None)
         for it, batch in enumerate(loader):
+            gstep = epoch * len(loader) + it
             if dev_aug:
-                batch = self._apply_device_aug(
-                    batch, epoch * len(loader) + it)
+                batch = self._apply_device_aug(batch, gstep)
+            self._profiler_hook(gstep)
             sbatch = pmesh.shard_batch(self.mesh, batch)
             state, metrics = train_step(state, sbatch)
             if pending is not None and (pending[1] + 1) % display == 0:

@@ -29,7 +29,11 @@ def convert_tensor(name: str, t, transposed: bool = False
     ``transposed`` marks ConvTranspose2d weights, whose torch layout is
     (in, out, kH, kW) — NOT the Conv2d (out, in, kH, kW) — so they need
     (2,3,0,1) to reach flax's HWIO, not the default (2,3,1,0) (which would
-    silently swap in/out channels whenever in == out).
+    silently swap in/out channels whenever in == out).  They are also
+    spatially FLIPPED: torch ConvTranspose2d is the conv gradient
+    (kernel scattered as-is), while flax ConvTranspose convolves the
+    dilated input with the kernel unflipped — verified numerically in
+    tests/test_fidelity_models.py (ENet) against k3/s2/p1/op1.
     """
     a = np.asarray(t.detach().cpu().numpy() if hasattr(t, "detach") else t)
     if name.endswith(".running_mean"):
@@ -40,9 +44,9 @@ def convert_tensor(name: str, t, transposed: bool = False
         return "", a, "skip"
     leaf = name.rsplit(".", 1)[-1]
     if leaf == "weight":
-        if a.ndim == 4:  # conv OIHW → HWIO; deconv IOHW → HWIO
+        if a.ndim == 4:  # conv OIHW → HWIO; deconv IOHW → flipped HWIO
             return ("kernel",
-                    a.transpose(2, 3, 0, 1) if transposed
+                    a.transpose(2, 3, 0, 1)[::-1, ::-1].copy() if transposed
                     else a.transpose(2, 3, 1, 0),
                     "params")
         if a.ndim == 2:  # linear
@@ -205,4 +209,121 @@ YOLOV5_RULES = [
      r"neck/down\1/csp/m\2/conv\3/\4"),
     (r"detect\.m\.(\d)", r"detect/m\1"),
     (r"detect", r""),  # anchors buffer — constants in our decode
+]
+
+
+# reference src/models/heads/seg/deeplabv3plus_head.py:33 (+ parent
+# deeplabv3_head.py:50) → models/heads/seg_heads.py Deeplabv3(Plus)Head
+DEEPLABV3PLUS_RULES = [
+    (r"proj\.1\.(conv|bn)", r"proj/\1"),
+    (r"aspp\.(\d)\.depthwise_conv\.(conv|bn)", r"aspp\1/dw/\2"),
+    (r"aspp\.(\d)\.pointwise_conv\.(conv|bn)", r"aspp\1/pw/\2"),
+    (r"aspp\.(\d)\.(conv|bn)", r"aspp\1/\2"),
+    (r"reduce\.(conv|bn)", r"reduce/\1"),
+    (r"low_proj\.(conv|bn)", r"low_proj/\1"),
+    (r"fuse\.(\d)\.depthwise_conv\.(conv|bn)", r"fuse\1/dw/\2"),
+    (r"fuse\.(\d)\.pointwise_conv\.(conv|bn)", r"fuse\1/pw/\2"),
+    (r"cls_seg", r"cls"),
+]
+
+
+# reference src/models/heads/nanodetplus_head.py:54-183 (DepthwiseConvModule
+# stacks + per-level gfl_cls 1×1) → models/heads/nanodet_head.py
+NANODETPLUS_HEAD_RULES = [
+    (r"cls_convs\.(\d)\.(\d)\.depthwise", r"convs\1_\2_dw/conv"),
+    (r"cls_convs\.(\d)\.(\d)\.dwnorm", r"convs\1_\2_dw/bn"),
+    (r"cls_convs\.(\d)\.(\d)\.pointwise", r"convs\1_\2_pw/conv"),
+    (r"cls_convs\.(\d)\.(\d)\.pwnorm", r"convs\1_\2_pw/bn"),
+    (r"gfl_cls\.(\d)", r"gfl_cls\1"),
+    (r"distribution_project", r""),  # Integral buffer — ours is a constant
+]
+
+
+# reference src/models/segnet.py:71-160 → models/segnet_enet.py SegNet
+SEGNET_RULES = [
+    (r"(encoder\d)\.(?:double|triple)_conv\.(\d)\.0", r"\1_\2/conv"),
+    (r"(encoder\d)\.(?:double|triple)_conv\.(\d)\.1", r"\1_\2/bn"),
+    (r"(decoder[2-5])\.(?:double|triple)_conv\.(\d)\.0", r"\1_\2/conv"),
+    (r"(decoder[2-5])\.(?:double|triple)_conv\.(\d)\.1", r"\1_\2/bn"),
+    (r"decoder1\.0", r"decoder1_0/conv"),
+    (r"decoder1\.1", r"decoder1_0/bn"),
+    (r"outconv", r"outconv"),
+]
+
+
+def _enet_rules():
+    """reference src/models/enet.py:152-254 → models/segnet_enet.py ENet.
+    Bottlenecks live unwrapped (stage1_1), in Sequentials (stage1_2.0) or
+    under stage3.i; each prefix form gets the same inner mapping."""
+    inner = [
+        (r"bottleneck\.0\.0", "c0/conv"), (r"bottleneck\.0\.1", "c0/bn"),
+        (r"bottleneck\.0\.2", "c0/act"),
+        (r"bottleneck\.1\.0", "c1a/conv"), (r"bottleneck\.1\.1", "c1a/bn"),
+        (r"bottleneck\.1\.2", "c1a/act"),
+        (r"bottleneck\.1\.3", "c1b/conv"), (r"bottleneck\.1\.4", "c1b/bn"),
+        (r"bottleneck\.1\.5", "c1b/act"),
+        (r"bottleneck\.2\.0", "c2/conv"), (r"bottleneck\.2\.1", "c2/bn"),
+        (r"bottleneck\.2\.2", "c2/act"),
+        (r"upsample_conv\.0", "up_conv/conv"),
+        (r"upsample_conv\.1", "up_conv/bn"),
+        (r"relu", "act"),
+    ]
+    rules = [
+        (r"initialBlock\.conv", r"init_conv"),
+        (r"initialBlock\.bn", r"init_bn"),
+        (r"initialBlock\.relu", r"init_act"),
+        (r"final_conv", r"final_conv"),
+        (r".*criterion.*", r""),           # loss-module weight buffers
+    ]
+    for pat, rep in inner:
+        rules.append((rf"stage(\d)_(\d)\.(\d)\.{pat}",
+                      rf"stage\1_\2_\3/{rep}"))
+        rules.append((rf"stage3\.(\d)\.{pat}", rf"stage3_\1/{rep}"))
+        rules.append((rf"stage(\d)_(\d)\.{pat}", rf"stage\1_\2/{rep}"))
+    return rules
+
+
+ENET_RULES = _enet_rules()
+# torch ConvTranspose2d weights are IOHW, not OIHW (enet.py:50,202)
+ENET_TRANSPOSED = (r"stage[45]_1\.bottleneck\.1\.0", r"final_conv")
+
+
+# reference src/models/backbones/det/yolox_csp_darknet.py +
+# necks/yolox_neck.py + heads/yolox_head.py → models/yolox.py
+# (the reference's YOLOX wrapper has the same unbuildable depth_mul
+# injection as YOLOv5's, so the three modules are chained directly)
+YOLOX_RULES = [
+    (r"backbone\.stem\.conv\.(conv|bn)", r"backbone/stem/conv/\1"),
+    (r"backbone\.stage(\d)\.0\.(conv|bn)", r"backbone/stage\1_down/\2"),
+    (r"backbone\.stage4\.1\.conv(\d)\.(conv|bn)", r"backbone/sppf/conv\1/\2"),
+    (r"backbone\.stage4\.2\.conv(\d)\.(conv|bn)",
+     r"backbone/stage4_csp/conv\1/\2"),
+    (r"backbone\.stage4\.2\.m\.(\d+)\.conv(\d)\.(conv|bn)",
+     r"backbone/stage4_csp/m\1/conv\2/\3"),
+    (r"backbone\.stage(\d)\.1\.conv(\d)\.(conv|bn)",
+     r"backbone/stage\1_csp/conv\2/\3"),
+    (r"backbone\.stage(\d)\.1\.m\.(\d+)\.conv(\d)\.(conv|bn)",
+     r"backbone/stage\1_csp/m\2/conv\3/\4"),
+    (r"neck\.lateral_conv0\.(conv|bn)", r"neck_up1/reduce/\1"),
+    (r"neck\.C3_p4\.conv(\d)\.(conv|bn)", r"neck_up1/csp/conv\1/\2"),
+    (r"neck\.C3_p4\.m\.(\d+)\.conv(\d)\.(conv|bn)",
+     r"neck_up1/csp/m\1/conv\2/\3"),
+    (r"neck\.reduce_conv1\.(conv|bn)", r"neck_up2/reduce/\1"),
+    (r"neck\.C3_p3\.conv(\d)\.(conv|bn)", r"neck_up2/csp/conv\1/\2"),
+    (r"neck\.C3_p3\.m\.(\d+)\.conv(\d)\.(conv|bn)",
+     r"neck_up2/csp/m\1/conv\2/\3"),
+    (r"neck\.bu_conv2\.(conv|bn)", r"neck_down1/down/\1"),
+    (r"neck\.C3_n3\.conv(\d)\.(conv|bn)", r"neck_down1/csp/conv\1/\2"),
+    (r"neck\.C3_n3\.m\.(\d+)\.conv(\d)\.(conv|bn)",
+     r"neck_down1/csp/m\1/conv\2/\3"),
+    (r"neck\.bu_conv1\.(conv|bn)", r"neck_down2/down/\1"),
+    (r"neck\.C3_n4\.conv(\d)\.(conv|bn)", r"neck_down2/csp/conv\1/\2"),
+    (r"neck\.C3_n4\.m\.(\d+)\.conv(\d)\.(conv|bn)",
+     r"neck_down2/csp/m\1/conv\2/\3"),
+    (r"head\.stems\.(\d)\.(conv|bn)", r"head/stem\1/\2"),
+    (r"head\.cls_convs\.(\d)\.(\d)\.(conv|bn)", r"head/cls\1_\2/\3"),
+    (r"head\.reg_convs\.(\d)\.(\d)\.(conv|bn)", r"head/reg\1_\2/\3"),
+    (r"head\.cls_preds\.(\d)", r"head/cls_out\1"),
+    (r"head\.reg_preds\.(\d)", r"head/reg_out\1"),
+    (r"head\.obj_preds\.(\d)", r"head/obj_out\1"),
 ]

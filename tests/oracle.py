@@ -191,6 +191,14 @@ def _torch16_compat_shims():
         torch.nn.Module.cuda = lambda self, *a, **k: self
         torch.Tensor.cuda = lambda self, *a, **k: self
 
+    # numpy 2 removed the np.math alias (yolox_head.py:64 uses it)
+    import math
+
+    import numpy as _np
+
+    if not hasattr(_np, "math"):
+        _np.math = math
+
 
 _DONE = False
 
@@ -246,6 +254,9 @@ def setup_reference():
     stubs = {}
     stubs.update(_make_torchvision())
     stubs.update(_make_pycocotools())
+    ts = types.ModuleType("torchsummary")   # segnet.py imports it at top
+    ts.summary = lambda *a, **k: None
+    stubs["torchsummary"] = ts
     for name, mod in stubs.items():
         sys.modules.setdefault(name, mod)
         mod.__path__ = getattr(mod, "__path__", [])

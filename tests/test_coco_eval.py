@@ -181,3 +181,41 @@ def test_unletterbox_gt():
     ev.update(targets, preds)
     m = ev.evaluate()
     assert abs(m["mAP"] - 1.0) < 1e-6
+
+
+def test_oks_keypoint_evaluation():
+    """'keypoints' iou_type: OKS matching with the 17 COCO sigmas,
+    maxDets [20], all/medium/large areas (pycocotools kpt Params;
+    reference evaluator/__init__.py:30-31 pairs it with bbox)."""
+    import numpy as np
+
+    from cvpytorch_tpu.evaluator.coco import (COCO_SIGMAS, CocoEvaluator,
+                                              _oks_iou)
+
+    # hand-check the OKS formula for a single offset keypoint
+    gt = np.zeros((1, 17, 3)); gt[0, :, 2] = 2
+    gt[0, :, 0] = 50.0; gt[0, :, 1] = 50.0
+    dt = gt.copy(); dt[0, 0, 0] = 53.0         # 3 px off on keypoint 0
+    boxes = np.array([[20.0, 20.0, 80.0, 80.0]])
+    area = np.array([3600.0])
+    oks = _oks_iou(dt, gt, boxes, area, np.zeros(1, bool))
+    e0 = 9.0 / (2 * COCO_SIGMAS[0] * 2) ** 2 * 2 / (2 * (3600 + np.spacing(1)))
+    # pycocotools: e = d²/var2/(area+eps)/2 with var2=(2σ)²
+    e0 = 9.0 / ((2 * COCO_SIGMAS[0]) ** 2) / (3600 + np.spacing(1)) / 2
+    want = (np.exp(-e0) + 16.0) / 17.0
+    np.testing.assert_allclose(oks[0, 0], want, rtol=1e-12)
+
+    # perfect predictions → kpt mAP 1.0 through the evaluator
+    ev = CocoEvaluator(num_classes=1, iou_types=("bbox", "keypoints"))
+    targets = {"boxes": boxes[None], "labels": np.zeros((1, 1), np.int64),
+               "valid": np.ones((1, 1), bool),
+               "pads": np.zeros((1, 2)), "scales": np.ones((1, 2)),
+               "keypoints": gt[None]}
+    preds = {"boxes": boxes[None].copy(), "scores": np.array([[0.9]]),
+             "labels": np.zeros((1, 1), np.int64),
+             "valid": np.ones((1, 1), bool), "keypoints": gt[None].copy()}
+    ev.update(targets, preds)
+    out = ev.evaluate()
+    assert out["keypoints_mAP"] == 1.0
+    assert out["bbox_mAP"] == 1.0
+    assert "keypoints_Recall_20" in out and "keypoints_AP_medium" in out

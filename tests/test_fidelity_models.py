@@ -214,3 +214,264 @@ def test_yolov5s_full_forward_matches_reference():
     assert len(raw) == 3
     for got, want in zip(raw, ref_raw):
         np.testing.assert_allclose(np.asarray(got), want, atol=5e-4)
+
+
+def test_deeplabv3plus_head_matches_reference():
+    """Separable-ASPP + low-level fusion head parity
+    (reference heads/seg/deeplabv3plus_head.py:33-69)."""
+    from src.models.heads.seg.deeplabv3plus_head import (
+        Deeplabv3PlusHead as RefHead,
+    )
+
+    from cvpytorch_tpu.models.heads.seg_heads import Deeplabv3PlusHead
+    from cvpytorch_tpu.utils.porting import DEEPLABV3PLUS_RULES
+
+    torch.manual_seed(0)
+    ref = RefHead(num_classes=5, in_channels=64, channels=32,
+                  dilations=(1, 12, 24, 36), low_in_channels=16,
+                  low_channels=8)
+    _randomize_bn(ref)
+    ref.eval()
+
+    rs = np.random.RandomState(4)
+    low = rs.rand(2, 16, 16, 16).astype(np.float32)
+    high = rs.rand(2, 64, 4, 4).astype(np.float32)
+    with torch.no_grad():
+        want = ref([to_torch(low), to_torch(high)]).numpy()
+
+    ported = port_state_dict(ref.state_dict(), DEEPLABV3PLUS_RULES,
+                             strict=True)
+    head = Deeplabv3PlusHead(num_classes=5, channels=32, low_channels=8,
+                             dilations=(1, 12, 24, 36))
+    feats = (jnp.asarray(low.transpose(0, 2, 3, 1)),
+             jnp.asarray(high.transpose(0, 2, 3, 1)))
+    variables = head.init({"params": jax.random.PRNGKey(0)}, feats)
+    errs = verify_tree_shapes(ported["params"], dict(variables["params"]))
+    assert not errs, errs
+    got = head.apply(
+        {"params": ported["params"], "batch_stats": ported["batch_stats"]},
+        feats, False)
+    np.testing.assert_allclose(
+        np.asarray(got).transpose(0, 3, 1, 2), want, atol=5e-4)
+
+
+def test_nanodetplus_head_matches_reference():
+    """GFL head parity: DepthwiseConvModule stacks + per-level gfl_cls
+    (reference heads/nanodetplus_head.py:54-183)."""
+    from src.models.heads.nanodetplus_head import NanoDetPlusHead as RefHead
+    from src.utils.config import CommonConfiguration as RefCfg
+
+    from cvpytorch_tpu.models.heads.nanodet_head import NanoDetPlusHead
+    from cvpytorch_tpu.utils.porting import NANODETPLUS_HEAD_RULES
+
+    torch.manual_seed(0)
+    nc, ch, strides = 5, 32, [8, 16, 32]
+    loss_cfg = RefCfg.from_dict({
+        "loss_qfl": {"name": "QualityFocalLoss", "beta": 2.0,
+                     "loss_weight": 1.0},
+        "loss_dfl": {"name": "DistributionFocalLoss", "loss_weight": 0.25},
+        "loss_bbox": {"name": "GIoULoss", "loss_weight": 2.0},
+    })
+    ref = RefHead(num_classes=nc, loss=loss_cfg, input_channel=ch,
+                  feat_channels=ch, stacked_convs=2, kernel_size=5,
+                  strides=strides, reg_max=7, activation="LeakyReLU")
+    _randomize_bn(ref)
+    ref.eval()
+
+    rs = np.random.RandomState(5)
+    feats_t = [rs.rand(2, ch, 64 // s, 64 // s).astype(np.float32)
+               for s in strides]
+    with torch.no_grad():
+        want = ref([to_torch(f) for f in feats_t]).numpy()  # (B, P, no)
+
+    sd = {k: v for k, v in ref.state_dict().items()
+          if not k.startswith(("loss_", "assigner"))}
+    ported = port_state_dict(sd, NANODETPLUS_HEAD_RULES, strict=True)
+
+    head = NanoDetPlusHead(num_classes=nc, feat_channels=ch,
+                           stacked_convs=2, kernel_size=5,
+                           strides=tuple(strides), reg_max=7,
+                           act="leaky_relu")
+    feats = tuple(jnp.asarray(f.transpose(0, 2, 3, 1)) for f in feats_t)
+    variables = head.init({"params": jax.random.PRNGKey(0)}, feats)
+    errs = verify_tree_shapes(ported["params"], dict(variables["params"]))
+    assert not errs, errs
+    got = head.apply(
+        {"params": ported["params"], "batch_stats": ported["batch_stats"]},
+        feats, False)
+    np.testing.assert_allclose(np.asarray(got), want, atol=5e-4)
+
+
+def _no_cuda(monkeypatch):
+    """Reference SegNet/ENet hardcode .cuda() on their loss modules;
+    run them on CPU by making cuda() a no-op."""
+    monkeypatch.setattr(torch.nn.Module, "cuda",
+                        lambda self, *a, **k: self, raising=False)
+    monkeypatch.setattr(torch.Tensor, "cuda",
+                        lambda self, *a, **k: self, raising=False)
+
+
+def test_segnet_forward_matches_reference(monkeypatch):
+    """Max-unpool encoder/decoder parity (reference segnet.py:71-160);
+    exercises ops/pool index round-tripping through 5 stages."""
+    _no_cuda(monkeypatch)
+    from src.models.segnet import SegNet as RefSegNet
+
+    from cvpytorch_tpu.models.segnet_enet import SegNet
+    from cvpytorch_tpu.utils.porting import SEGNET_RULES
+
+    dictionary = [{"a": 1.0}, {"b": 1.0}, {"c": 1.0}]
+    torch.manual_seed(0)
+    ref = RefSegNet(dictionary=dictionary)
+    _randomize_bn(ref)
+    ref.eval()
+
+    x = np.random.RandomState(6).rand(1, 3, 64, 64).astype(np.float32)
+    with torch.no_grad():
+        want = ref(to_torch(x), mode="infer").numpy()
+
+    sd = {k: v for k, v in ref.state_dict().items()
+          if "criterion" not in k}
+    ported = port_state_dict(sd, SEGNET_RULES, strict=True)
+    model = SegNet(dictionary=dictionary)
+    xs = jnp.asarray(x.transpose(0, 2, 3, 1))
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(0)},
+        xs, mode="infer")
+    errs = verify_tree_shapes(ported["params"], dict(variables["params"]))
+    assert not errs, errs
+    # compare raw logits: run infer path up to argmax via val-mode preds
+    logits_fn = lambda v: model.apply(v, xs, mode="infer")
+    got_arg = np.asarray(logits_fn(
+        {"params": ported["params"], "batch_stats": ported["batch_stats"]}))
+    np.testing.assert_array_equal(got_arg, want.argmax(1)[0][None])
+
+
+def test_enet_forward_matches_reference(monkeypatch):
+    """Full 5-stage ENet parity: PReLUs, asymmetric/dilated bottlenecks,
+    channel-padded Down residuals, transpose-conv ups + max-unpool
+    (reference enet.py:152-254)."""
+    _no_cuda(monkeypatch)
+    from src.models.enet import ENet as RefENet
+
+    from cvpytorch_tpu.models.segnet_enet import ENet
+    from cvpytorch_tpu.utils.porting import ENET_RULES, ENET_TRANSPOSED
+
+    dictionary = [{"a": 1.0}, {"b": 1.0}, {"c": 1.0}]
+    torch.manual_seed(0)
+    ref = RefENet(dictionary=dictionary)
+    _randomize_bn(ref)
+    # make PReLU slopes non-trivial so porting them matters
+    g = torch.Generator().manual_seed(11)
+    for m in ref.modules():
+        if isinstance(m, torch.nn.PReLU):
+            with torch.no_grad():
+                m.weight.copy_(torch.rand(m.weight.shape, generator=g) * 0.5)
+    ref.eval()
+
+    x = np.random.RandomState(7).rand(1, 3, 64, 64).astype(np.float32)
+    with torch.no_grad():
+        want = ref(to_torch(x), mode="infer")
+    # reference infer mode returns None (enet.py:240 'pass'); recompute
+    with torch.no_grad():
+        h = ref.initialBlock(to_torch(x))
+        h, i1 = ref.stage1_1(h)
+        h = ref.stage1_2(h)
+        h, i2 = ref.stage2_1(h)
+        h = ref.stage2_2(h)
+        h = ref.stage3(h)
+        h = ref.stage4_1(h, i2)
+        h = ref.stage4_2(h)
+        h = ref.stage5_1(h, i1)
+        h = ref.stage5_2(h)
+        want = ref.final_conv(h).numpy()
+
+    sd = {k: v for k, v in ref.state_dict().items()
+          if "criterion" not in k}
+    ported = port_state_dict(sd, ENET_RULES, strict=True,
+                             transposed_patterns=ENET_TRANSPOSED)
+    model = ENet(dictionary=dictionary)
+    xs = jnp.asarray(x.transpose(0, 2, 3, 1))
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(0)},
+        xs, mode="infer")
+    errs = verify_tree_shapes(ported["params"], dict(variables["params"]))
+    assert not errs, errs
+    got = np.asarray(model.apply(
+        {"params": ported["params"], "batch_stats": ported["batch_stats"]},
+        xs, mode="infer"))
+    np.testing.assert_array_equal(got, want.argmax(1))
+
+
+def test_ssd_prior_boxes_match_reference():
+    """SSD PriorBox parity (reference anchors/prior_box.py:7-55) — same
+    count, ordering and values as the torch per-cell loop."""
+    from src.models.anchors.prior_box import PriorBox as RefPriorBox
+
+    from cvpytorch_tpu.models.anchors import PriorBox
+
+    want = RefPriorBox()().numpy()
+    got = PriorBox()()
+    assert got.shape == want.shape == (8732, 4)
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_yolox_full_forward_matches_reference():
+    """YOLOX parity: reference backbone→neck→head chained (same
+    unbuildable-wrapper situation as YOLOv5), ported into our flax YOLOX,
+    raw (B,P,4+1+C) head maps compared (reference yolox_csp_darknet.py:17,
+    yolox_neck.py:13, yolox_head.py:14).  Also proves our serial SPPF(5)
+    ≡ the reference's parallel (5,9,13) SPP."""
+    from src.models.backbones.det.yolox_csp_darknet import (
+        YOLOXCSPDarknet as RefBB,
+    )
+    from src.models.heads.yolox_head import YOLOXHead as RefHead
+    from src.models.necks.yolox_neck import YOLOXNeck as RefNeck
+
+    from cvpytorch_tpu.config import CommonConfiguration
+    from cvpytorch_tpu.models.yolox import YOLOX
+    from cvpytorch_tpu.utils.porting import YOLOX_RULES
+
+    torch.manual_seed(0)
+    nc = 4
+    bb = RefBB(subtype="cspdark_s", out_stages=[2, 3, 4], pretrained=False)
+    neck = RefNeck(subtype="yolox_s", channels=[256, 512, 1024],
+                   depth_mul=0.33, width_mul=0.5)
+    head = RefHead(num_classes=nc, in_channels=[256, 512, 1024],
+                   depth_mul=0.33, width_mul=0.5)
+    for m in (bb, neck, head):
+        _randomize_bn(m)
+        m.eval()
+    # reference bug: stems are 1×1 convs with padding=1 (yolox_head.py:35),
+    # growing every level by a junk border ring; our head uses the correct
+    # padding=0 — neutralize the oracle's padding for the comparison
+    for stem in head.stems:
+        stem.conv.padding = (0, 0)
+
+    x = np.random.RandomState(8).rand(2, 3, 64, 64).astype(np.float32)
+    with torch.no_grad():
+        outs = head(neck(list(bb(to_torch(x)))))
+        # flatten like our head: (B, h*w, 4+1+C) per level, concat
+        want = np.concatenate(
+            [o.permute(0, 2, 3, 1).reshape(o.shape[0], -1,
+                                           o.shape[1]).numpy()
+             for o in outs], axis=1)
+
+    sd = {}
+    for mod, pre in ((bb, "backbone"), (neck, "neck"), (head, "head")):
+        for k, v in mod.state_dict().items():
+            sd[f"{pre}.{k}"] = v
+    ported = port_state_dict(sd, YOLOX_RULES, strict=True)
+
+    model = YOLOX(dictionary=tuple({f"c{i}": 1.0} for i in range(nc)),
+                  model_cfg=CommonConfiguration({"TYPE": "yolox_s"}))
+    xs = jnp.asarray(x.transpose(0, 2, 3, 1))
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(0)},
+        xs, mode="infer")
+    errs = verify_tree_shapes(ported["params"], dict(variables["params"]))
+    assert not errs, errs
+    raw, _ = model.apply(
+        {"params": ported["params"], "batch_stats": ported["batch_stats"]},
+        xs, False, method="_forward")
+    np.testing.assert_allclose(np.asarray(raw), want, atol=5e-4)

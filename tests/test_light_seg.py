@@ -4,7 +4,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from cvpytorch_tpu.models.light_seg import ENet, STDC, SegNet, detail_target
+from cvpytorch_tpu.models.light_seg import STDC, detail_target
+from cvpytorch_tpu.models.segnet_enet import ENet, SegNet
 
 
 @pytest.mark.parametrize("cls,kw", [

@@ -91,3 +91,17 @@ def trainer_dir(cfg):
     runs = os.listdir(root)
     assert runs
     return os.path.join(root, runs[0])
+
+
+def test_profiler_hook_writes_trace(cls_cfg, tmp_path):
+    """PROFILER YAML block captures a jax.profiler trace window
+    (SURVEY §5.1; the reference has no profiling hook)."""
+    cls_cfg.PROFILER = CommonConfiguration(
+        {"DIR": str(tmp_path / "traces"), "START_STEP": 1, "NUM_STEPS": 2})
+    cls_cfg.N_MAX_EPOCHS = 1
+    trainer = Trainer(cls_cfg)
+    trainer.run()
+    import glob
+
+    assert glob.glob(str(tmp_path / "traces" / "**" / "*.xplane.pb"),
+                     recursive=True)

@@ -74,6 +74,9 @@ def test_pai_yolox_asff(rng):
             "pads": jnp.zeros((1, 2)), "scales": jnp.ones((1, 2))}
     v = model.init({"params": rng, "dropout": rng}, imgs, tgts, mode="train")
     assert "asff" in v["params"]
+    # PAI also swaps in the RepVGG-block backbone
+    # (reference yolox_pai_efficient_rep.py:16)
+    assert "stage1_block0" in v["params"]["backbone"]
     (t, _), _ = model.apply(v, imgs, tgts, mode="train",
                             mutable=["batch_stats"])
     assert np.isfinite(float(t))
