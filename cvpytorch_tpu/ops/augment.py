@@ -313,13 +313,19 @@ def fused_det_augment(images, boxes, valid, key, out_size: int,
     k1, k2, k3, k4 = jax.random.split(key, 4)
     canvas, mboxes, mvalid = mosaic4(images, boxes, valid, k1, out_size)
     B, HW2 = canvas.shape[0], canvas.shape[1]
+    # tiles may arrive below output resolution (DEVICE_AUG TILE < SIZE):
+    # each tile covers ~a quadrant of the final mosaic anyway, so feeding
+    # S = out/2 tiles quarters the host letterbox/memcpy bytes; the
+    # missing upscale folds into the warp as a canvas→output scale ts
+    S = images.shape[2]
+    ts = out_size / S
     # affine maps the 2S canvas to out_size with the reference's border
     # crop: translate samples around the canvas center
     ms = random_affine_matrices(k2, B, out_size, out_size,
                                 translate=translate, scale=scale)
-    # prepend the canvas→output shift (border = -S/2 each side)
-    shift = jnp.array([[1.0, 0, -out_size / 2], [0, 1.0, -out_size / 2],
-                       [0, 0, 1.0]])
+    # prepend canvas→output scale+shift (border = -S/2 each side, ×ts)
+    shift = jnp.array([[ts, 0.0, -S / 2 * ts], [0.0, ts, -S / 2 * ts],
+                       [0.0, 0.0, 1.0]])
     full = jnp.concatenate([ms, jnp.tile(jnp.array([[[0.0, 0, 1]]]),
                                          (B, 1, 1))], 1) @ shift
     ms = full[:, :2]

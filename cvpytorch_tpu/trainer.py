@@ -116,8 +116,14 @@ class Trainer:
 
                     size = int(dev_aug.get("SIZE", 640)) \
                         if hasattr(dev_aug, "get") else 640
+                    # TILE < SIZE letterboxes the raw tiles at reduced
+                    # resolution (default SIZE/2): each tile covers ~a
+                    # quadrant of the mosaic, and on weak hosts the
+                    # letterbox/memcpy bytes dominate the input pipeline
+                    tile = int(dev_aug.get("TILE", size // 2)) \
+                        if hasattr(dev_aug, "get") else size // 2
                     collate = make_device_aug_collate(
-                        int(self.cfg.DATASET.MAX_BOXES or 64) // 4, size)
+                        int(self.cfg.DATASET.MAX_BOXES or 64) // 4, tile)
                     self._device_aug_size = size
                 else:
                     from .data.transforms.det_transforms import \
