@@ -27,6 +27,8 @@ class RepVGGBlock(nn.Module):
     out_channels: int
     stride: int = 1
     deploy: bool = False
+    bn_momentum: float = 0.9     # torch BN defaults; YOLOv6 inits use
+    bn_eps: float = 1e-5         # momentum 0.03 / eps 1e-3 (repbipan.py:60)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -35,18 +37,17 @@ class RepVGGBlock(nn.Module):
             y = nn.Conv(self.out_channels, (3, 3), strides=self.stride,
                         padding=1, name="reparam")(x)
             return nn.relu(y)
+        bn = dict(use_running_average=not train, momentum=self.bn_momentum,
+                  epsilon=self.bn_eps)
         y3 = nn.Conv(self.out_channels, (3, 3), strides=self.stride,
                      padding=1, use_bias=False, name="conv3")(x)
-        y3 = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                          epsilon=1e-5, name="bn3")(y3)
+        y3 = nn.BatchNorm(**bn, name="bn3")(y3)
         y1 = nn.Conv(self.out_channels, (1, 1), strides=self.stride,
                      use_bias=False, name="conv1")(x)
-        y1 = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                          epsilon=1e-5, name="bn1")(y1)
+        y1 = nn.BatchNorm(**bn, name="bn1")(y1)
         out = y3 + y1
         if self.stride == 1 and in_ch == self.out_channels:
-            yid = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                               epsilon=1e-5, name="bnid")(x)
+            yid = nn.BatchNorm(**bn, name="bnid")(x)
             out = out + yid
         return nn.relu(out)
 

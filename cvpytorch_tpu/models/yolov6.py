@@ -18,7 +18,13 @@ from ..ops.nms import batched_nms
 from ..registry import MODELS
 from .assigners.tal_assigner import tal_assign
 from .backbones.csp_darknet import SIZE_CFG
-from .backbones.repvgg import RepVGGBlock
+from functools import partial
+
+from .backbones.repvgg import RepVGGBlock as _RepVGGBlock
+
+# YOLOv6 init sets BN momentum 0.03 / eps 1e-3 on every neck/backbone BN
+# (reference yolov6_repbipan.py:55-62, yolov6_efficient_rep init)
+RepVGGBlock = partial(_RepVGGBlock, bn_momentum=0.97, bn_eps=1e-3)
 from .bricks import ConvBNAct, make_divisible, make_round
 from .heads.nanodet_head import center_priors
 
@@ -26,13 +32,40 @@ _BN = dict(bn_momentum=0.97, bn_eps=1e-3)
 STRIDES = (8, 16, 32)
 
 
+class SimCSPSPPF(nn.Module):
+    """CSP-wrapped SPPF with ReLU, the v6-3.0 n/s pyramid pool
+    (reference: yolo_modules.py:218-242)."""
+
+    out_channels: int
+    e: float = 0.5
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c_ = int(self.out_channels * self.e)
+
+        def cba(t, ch, k, name):
+            return ConvBNAct(ch, k, act="relu", **_BN, name=name)(t, train)
+
+        x1 = cba(cba(cba(x, c_, 1, "cv1"), c_, 3, "cv3"), c_, 1, "cv4")
+        y0 = cba(x, c_, 1, "cv2")
+        pool = lambda t: nn.max_pool(t, (5, 5), strides=(1, 1),
+                                     padding=((2, 2), (2, 2)))
+        y1 = pool(x1)
+        y2 = pool(y1)
+        z = cba(jnp.concatenate([x1, y1, y2, pool(y2)], -1), c_, 1, "cv5")
+        z = cba(z, c_, 3, "cv6")
+        return cba(jnp.concatenate([y0, z], -1), self.out_channels, 1, "cv7")
+
+
 class EfficientRep(nn.Module):
-    """(reference: backbones/det/yolov6_efficientrep.py)"""
+    """(reference: backbones/det/yolov6_efficient_rep.py — v6-3.0: stage
+    = [RepVGG down, RepBlock, (SimCSPSPPF on stage4)])"""
 
     depth_mul: float = 0.33
     width_mul: float = 0.5
     out_channels: Sequence[int] = (64, 128, 256, 512, 1024)
     num_blocks: Sequence[int] = (6, 12, 18, 6)
+    out_stages: Sequence[int] = (2, 3, 4)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -42,49 +75,87 @@ class EfficientRep(nn.Module):
         feats = []
         for i in range(4):
             x = RepVGGBlock(chs[i + 1], 2, name=f"stage{i+1}_down")(x, train)
-            for j in range(blocks[i]):
-                x = RepVGGBlock(chs[i + 1], 1,
-                                name=f"stage{i+1}_block{j}")(x, train)
-            if i == 3:  # SimSPPF
-                from .backbones.csp_darknet import SPPF
-
-                x = SPPF(chs[4], 5, act="relu", name="sppf")(x, train)
-            if i + 1 >= 2:
+            x = _rep_block(x, chs[i + 1], blocks[i], train, f"stage{i+1}")
+            if i == 3:
+                x = SimCSPSPPF(chs[4], name="sppf")(x, train)
+            if i + 1 in self.out_stages:
                 feats.append(x)
         return tuple(feats)
 
 
-class RepPAN(nn.Module):
-    """(reference: necks/det/yolov6_repbipan.py — simplified Rep-PAN)"""
+def _rep_block(x, out_ch, n, train, name):
+    """Reference RepBlock (yolo_modules.py): RepVGG(in→out) + (n−1)×
+    RepVGG(out→out); torch children conv1 / block.0..n-2."""
+    x = RepVGGBlock(out_ch, 1, name=f"{name}_conv1")(x, train)
+    for j in range(max(n - 1, 0)):
+        x = RepVGGBlock(out_ch, 1, name=f"{name}_block{j}")(x, train)
+    return x
+
+
+class BiFusion(nn.Module):
+    """BiC fusion (reference: yolo_modules.py:245-264): deconv-upsampled
+    top + 1×1-reduced same level + downsampled lower level → 1×1 fuse."""
+
+    out_channels: int
+
+    @nn.compact
+    def __call__(self, top, same, lower, train: bool = False):
+        up = nn.ConvTranspose(self.out_channels, (2, 2), strides=(2, 2),
+                              padding="VALID", use_bias=True,
+                              name="upsample")(top)
+        a = ConvBNAct(self.out_channels, 1, act="relu", **_BN,
+                      name="cv1")(same, train)
+        b = ConvBNAct(self.out_channels, 1, act="relu", **_BN,
+                      name="cv2")(lower, train)
+        b = ConvBNAct(self.out_channels, 3, 2, act="relu", **_BN,
+                      name="downsample")(b, train)
+        y = jnp.concatenate([up, a, b], -1)
+        return ConvBNAct(self.out_channels, 1, act="relu", **_BN,
+                         name="cv3")(y, train)
+
+
+class RepBiPAN(nn.Module):
+    """Bi-directional-concat Rep-PAN (reference:
+    necks/det/yolov6_repbipan.py:17-86) — consumes 4 backbone levels
+    (strides 4/8/16/32); the BiC modules pull detail from one level
+    below each fusion point."""
 
     width_mul: float = 0.5
     depth_mul: float = 0.33
+    mid_channels: Sequence[int] = (128, 128, 256)
+    out_channels: Sequence[int] = (128, 256, 512)
+    num_blocks: Sequence[int] = (12, 12, 12, 12)
 
     @nn.compact
     def __call__(self, feats, train: bool = False):
-        from .necks.yolov5_neck import upsample2x
+        x3, x2, x1, x0 = feats      # strides 4, 8, 16, 32
+        wm, dm = self.width_mul, self.depth_mul
+        mid = [make_divisible(c * wm) for c in self.mid_channels]
+        out = [make_divisible(c * wm) for c in self.out_channels]
+        nb = [make_round(n, dm) for n in self.num_blocks]
 
-        c3, c4, c5 = feats
-        wm = self.width_mul
-        n = make_round(4, self.depth_mul)
+        fpn_out0 = ConvBNAct(mid[2], 1, act="relu", **_BN,
+                             name="reduce_layer0")(x0, train)
+        f = BiFusion(mid[2], name="bifusion0")(fpn_out0, x1, x2, train)
+        f_out0 = _rep_block(f, mid[2], nb[3], train, "Rep_p4")
 
-        def rep_blocks(x, ch, name):
-            for j in range(n):
-                x = RepVGGBlock(ch, 1, name=f"{name}_{j}")(x, train)
-            return x
+        fpn_out1 = ConvBNAct(mid[1], 1, act="relu", **_BN,
+                             name="reduce_layer1")(f_out0, train)
+        f = BiFusion(mid[1], name="bifusion1")(fpn_out1, x2, x3, train)
+        pan_out2 = _rep_block(f, out[0], nb[2], train, "Rep_p3")
 
-        ch4 = make_divisible(256 * wm)
-        ch3 = make_divisible(128 * wm)
-        t5 = ConvBNAct(ch4, 1, act="relu", **_BN, name="reduce5")(c5, train)
-        p4 = rep_blocks(jnp.concatenate([upsample2x(t5), c4], -1), ch4, "td4")
-        t4 = ConvBNAct(ch3, 1, act="relu", **_BN, name="reduce4")(p4, train)
-        p3 = rep_blocks(jnp.concatenate([upsample2x(t4), c3], -1), ch3, "td3")
-        d3 = ConvBNAct(ch3, 3, 2, act="relu", **_BN, name="down3")(p3, train)
-        p4o = rep_blocks(jnp.concatenate([d3, t4], -1), ch4, "bu4")
-        d4 = ConvBNAct(ch4, 3, 2, act="relu", **_BN, name="down4")(p4o, train)
-        p5o = rep_blocks(jnp.concatenate([d4, t5], -1),
-                         make_divisible(512 * wm), "bu5")
-        return (p3, p4o, p5o)
+        down_feat1 = ConvBNAct(mid[0], 3, 2, act="relu", **_BN,
+                               name="downsample2")(pan_out2, train)
+        pan_out1 = _rep_block(
+            jnp.concatenate([down_feat1, fpn_out1], -1), out[1], nb[1],
+            train, "Rep_n3")
+
+        down_feat0 = ConvBNAct(out[1], 3, 2, act="relu", **_BN,
+                               name="downsample1")(pan_out1, train)
+        pan_out0 = _rep_block(
+            jnp.concatenate([down_feat0, fpn_out0], -1), out[2], nb[0],
+            train, "Rep_n4")
+        return (pan_out2, pan_out1, pan_out0)
 
 
 class Effidehead(nn.Module):
@@ -160,7 +231,10 @@ def yolov6_loss(preds, priors, targets, num_classes):
     return total, {"cls_loss": cls_loss, "box_loss": box_loss}
 
 
-@MODELS.register(name="YOLOv6")
+#  the reference's shipped v6 confs name the generic
+#  'src.models.detectors.yolo_detector.YOLODetector' with v6 parts
+#  (conf/det/yolov6/*.yml:67) — alias it here so those ymls work as-is
+@MODELS.register(name="YOLOv6", aliases=("YOLODetector",))
 class YOLOv6(nn.Module):
     dictionary: Sequence[Any] = ()
     model_cfg: Any = None
@@ -175,8 +249,9 @@ class YOLOv6(nn.Module):
         subtype = get("TYPE") or "yolov6_s"
         size = subtype.split("_")[-1]
         dm, wm = SIZE_CFG.get(size, (0.33, 0.5))
-        self.backbone = EfficientRep(depth_mul=dm, width_mul=wm)
-        self.neck = RepPAN(width_mul=wm, depth_mul=dm)
+        self.backbone = EfficientRep(depth_mul=dm, width_mul=wm,
+                                     out_stages=(1, 2, 3, 4))
+        self.neck = RepBiPAN(width_mul=wm, depth_mul=dm)
         self.head = Effidehead(self.num_classes)
 
     def _forward(self, images, train: bool):

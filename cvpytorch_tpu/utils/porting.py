@@ -327,3 +327,40 @@ YOLOX_RULES = [
     (r"head\.reg_preds\.(\d)", r"head/reg_out\1"),
     (r"head\.obj_preds\.(\d)", r"head/obj_out\1"),
 ]
+
+
+def _repvgg_rules(pat: str, rep: str):
+    """Torch RepVGGBlock children (yolo_modules.py:268: rbr_dense /
+    rbr_1x1 / rbr_identity) → our conv3/bn3, conv1/bn1, bnid."""
+    return [
+        (pat + r"\.rbr_dense\.conv", rep + r"/conv3"),
+        (pat + r"\.rbr_dense\.bn", rep + r"/bn3"),
+        (pat + r"\.rbr_1x1\.conv", rep + r"/conv1"),
+        (pat + r"\.rbr_1x1\.bn", rep + r"/bn1"),
+        (pat + r"\.rbr_identity", rep + r"/bnid"),
+    ]
+
+
+# reference src/models/backbones/det/yolov6_efficient_rep.py (v6-3.0:
+# RepVGG stages + SimCSPSPPF) + necks/det/yolov6_repbipan.py (BiC fusion)
+# → models/yolov6.py EfficientRep + RepBiPAN
+YOLOV6_RULES = (
+    _repvgg_rules(r"backbone\.stem", r"backbone/stem")
+    + _repvgg_rules(r"backbone\.stage(\d)\.0", r"backbone/stage\1_down")
+    + _repvgg_rules(r"backbone\.stage(\d)\.1\.conv1",
+                    r"backbone/stage\1_conv1")
+    + _repvgg_rules(r"backbone\.stage(\d)\.1\.block\.(\d+)",
+                    r"backbone/stage\1_block\2")
+    + [(r"backbone\.stage4\.2\.cv(\d)\.(conv|bn)",
+        r"backbone/sppf/cv\1/\2"),
+       (r"neck\.reduce_layer(\d)\.(conv|bn)", r"neck/reduce_layer\1/\2"),
+       (r"neck\.bifusion(\d)\.upsample", r"neck/bifusion\1/upsample"),
+       (r"neck\.bifusion(\d)\.cv(\d)\.(conv|bn)", r"neck/bifusion\1/cv\2/\3"),
+       (r"neck\.bifusion(\d)\.downsample\.(conv|bn)",
+        r"neck/bifusion\1/downsample/\2"),
+       (r"neck\.downsample(\d)\.(conv|bn)", r"neck/downsample\1/\2")]
+    + _repvgg_rules(r"neck\.(Rep_[pn]\d)\.conv1", r"neck/\1_conv1")
+    + _repvgg_rules(r"neck\.(Rep_[pn]\d)\.block\.(\d+)", r"neck/\1_block\2")
+)
+# BiFusion upsamplers are raw ConvTranspose2d (yolo_modules.py:255)
+YOLOV6_TRANSPOSED = (r"neck\.bifusion\d\.upsample",)

@@ -475,3 +475,68 @@ def test_yolox_full_forward_matches_reference():
         {"params": ported["params"], "batch_stats": ported["batch_stats"]},
         xs, False, method="_forward")
     np.testing.assert_allclose(np.asarray(raw), want, atol=5e-4)
+
+
+def test_yolov6_backbone_neck_matches_reference():
+    """YOLOv6-3.0 parity: EfficientRep (RepVGG stages + SimCSPSPPF) into
+    RepBiPAN (BiC deconv fusion), ported weights reproduce the neck's
+    three pyramid outputs (reference yolov6_efficient_rep.py:17,
+    yolov6_repbipan.py:17, yolo_modules.py:218,245)."""
+    from src.models.backbones.det.yolov6_efficient_rep import (
+        YOLOv6EfficientRep as RefBB,
+    )
+    from src.models.necks.det.yolov6_repbipan import (
+        YOLOv6RepBiPAN as RefNeck,
+    )
+
+    from cvpytorch_tpu.models.yolov6 import EfficientRep, RepBiPAN
+    from cvpytorch_tpu.utils.porting import (
+        YOLOV6_RULES,
+        YOLOV6_TRANSPOSED,
+    )
+
+    torch.manual_seed(0)
+    bb = RefBB(subtype="yolov6_s", out_stages=[1, 2, 3, 4],
+               pretrained=False)
+    neck = RefNeck(subtype="yolov6_s", in_channels=[128, 256, 512, 1024],
+                   mid_channels=[128, 128, 256],
+                   out_channels=[128, 256, 512],
+                   num_blocks=[12, 12, 12, 12])
+    for m in (bb, neck):
+        _randomize_bn(m)
+        m.eval()
+
+    x = np.random.RandomState(10).rand(1, 3, 64, 64).astype(np.float32)
+    with torch.no_grad():
+        want = neck(list(bb(to_torch(x))))
+
+    sd = {}
+    for mod, pre in ((bb, "backbone"), (neck, "neck")):
+        for k, v in mod.state_dict().items():
+            sd[f"{pre}.{k}"] = v
+    ported = port_state_dict(sd, YOLOV6_RULES, strict=True,
+                             transposed_patterns=YOLOV6_TRANSPOSED)
+
+    mbb = EfficientRep(depth_mul=0.33, width_mul=0.5,
+                       out_stages=(1, 2, 3, 4))
+    mneck = RepBiPAN(width_mul=0.5, depth_mul=0.33)
+    xs = jnp.asarray(x.transpose(0, 2, 3, 1))
+
+    import flax.linen as nn
+
+    class BN(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            f = mbb.copy(name="backbone")(x, False)
+            return mneck.copy(name="neck")(f, False)
+
+    model = BN()
+    variables = model.init({"params": jax.random.PRNGKey(0)}, xs)
+    errs = verify_tree_shapes(ported["params"], dict(variables["params"]))
+    assert not errs, errs
+    got = model.apply(
+        {"params": ported["params"], "batch_stats": ported["batch_stats"]},
+        xs)
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(
+            np.asarray(g).transpose(0, 3, 1, 2), w.numpy(), atol=1e-3)
