@@ -40,3 +40,37 @@ def focal_loss(logits, labels, gamma: float = 2.0, alpha: float = 0.25,
         w = jnp.asarray(class_weights)[labels]
         return (losses * w).sum() / jnp.maximum(w.sum(), 1e-8)
     return losses.mean()
+
+
+def class_balanced_loss(logits, labels, samples_per_cls, beta: float = 0.9999,
+                        gamma: float = 2.0, loss_type: str = "focal"):
+    """Class-Balanced loss on effective sample numbers
+    (reference: src/losses/cb_loss.py:55-89, arXiv:1901.05555).
+
+    logits (N, C); labels (N,) int; samples_per_cls length-C counts.
+    loss_type ∈ {'focal', 'sigmoid', 'softmax'} with the reference's exact
+    normalizations (focal divides by Σ one-hot = N; sigmoid/softmax are
+    weighted-mean BCE).
+    """
+    n, c = logits.shape
+    spc = jnp.asarray(samples_per_cls, jnp.float32)
+    eff = 1.0 - jnp.power(beta, spc)
+    w = (1.0 - beta) / eff
+    w = w / w.sum() * c                                # (C,)
+    onehot = jax.nn.one_hot(labels, c)
+    ex_w = (w[None, :] * onehot).sum(1, keepdims=True)  # (N, 1)
+
+    if loss_type == "focal":
+        bce = optax.sigmoid_binary_cross_entropy(logits, onehot)
+        modulator = jnp.exp(-gamma * onehot * logits
+                            - gamma * jnp.log1p(jnp.exp(-logits)))
+        return (ex_w * modulator * bce).sum() / onehot.sum()
+    if loss_type == "sigmoid":
+        bce = optax.sigmoid_binary_cross_entropy(logits, onehot)
+        return (ex_w * bce).mean()
+    if loss_type == "softmax":
+        pred = jax.nn.softmax(logits, -1)
+        bce = -(onehot * jnp.log(jnp.clip(pred, 1e-12))
+                + (1 - onehot) * jnp.log(jnp.clip(1 - pred, 1e-12)))
+        return (ex_w * bce).mean()
+    raise ValueError(loss_type)

@@ -1,14 +1,18 @@
-"""GhostPAN neck (reference: src/models/necks/ghost_pan.py:14-160 —
+"""GhostPAN neck (reference: src/models/necks/ghost_pan.py:14-222 —
 NanoDet-Plus's lightweight PAN with GhostNet blocks).
 
-Structure: 1×1 reduce each level → top-down (upsample+concat+GhostBlocks)
-→ bottom-up (stride-2 DW conv + concat + GhostBlocks) → optional extra
-level.  LeakyReLU + BN like the reference default."""
+Structure (exact reference semantics): 1×1 reduce each level →
+top-down (×2 bilinear align-corners upsample + concat + GhostBottleneck
+with its dw+pw shortcut) → bottom-up (depthwise-separable stride-2 down +
+concat + GhostBottleneck) → extra level = dw-sep(down of last lateral) +
+dw-sep(down of last output).  LeakyReLU + BN like the reference default.
+"""
 from __future__ import annotations
 
 from typing import Sequence
 
 import jax.numpy as jnp
+import numpy as np
 from flax import linen as nn
 
 from ...registry import NECKS
@@ -17,12 +21,38 @@ from ..bricks import ConvBNAct, DepthwiseSeparableConv
 _BN = dict(bn_momentum=0.9, bn_eps=1e-5)
 
 
+def _align_corners_matrix(out_n: int, in_n: int) -> jnp.ndarray:
+    """(out, in) bilinear weights with torch align_corners=True."""
+    if in_n == 1:
+        return jnp.ones((out_n, 1), jnp.float32)
+    pos = np.arange(out_n) * (in_n - 1) / (out_n - 1)
+    i0 = np.clip(np.floor(pos).astype(int), 0, in_n - 1)
+    i1 = np.clip(i0 + 1, 0, in_n - 1)
+    f = (pos - i0).astype(np.float32)
+    w = np.zeros((out_n, in_n), np.float32)
+    np.add.at(w, (np.arange(out_n), i0), 1.0 - f)
+    np.add.at(w, (np.arange(out_n), i1), f)
+    return jnp.asarray(w)
+
+
+def upsample2x_bilinear_ac(x):
+    """×2 bilinear upsample, align_corners=True (reference ghost_pan.py:101
+    nn.Upsample) — two MXU contractions, no gather."""
+    B, H, W, C = x.shape
+    wy = _align_corners_matrix(2 * H, H)
+    wx = _align_corners_matrix(2 * W, W)
+    y = jnp.einsum("oh,bhwc->bowc", wy, x)
+    return jnp.einsum("pw,bowc->bopc", wx, y)
+
+
 class GhostModule(nn.Module):
+    """(reference: backbones/ghostnet.py:83-106)"""
+
     out_channels: int
     kernel_size: int = 1
     ratio: int = 2
     dw_size: int = 3
-    act: str = "leaky_relu"
+    act: str | None = "leaky_relu"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -36,24 +66,32 @@ class GhostModule(nn.Module):
 
 
 class GhostBottleneck(nn.Module):
+    """(reference: backbones/ghostnet.py:109-165) — ghost expand, optional
+    stride-dw, ghost project, ALWAYS summed with the shortcut branch
+    (identity when shapes allow, else dw+bn+pw+bn)."""
+
     out_channels: int
     mid_channels: int | None = None
     kernel_size: int = 5
     stride: int = 1
     act: str = "leaky_relu"
-    use_res: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        in_ch = x.shape[-1]
         mid = self.mid_channels or self.out_channels
         y = GhostModule(mid, act=self.act, name="ghost1")(x, train)
         if self.stride > 1:
             y = ConvBNAct(mid, self.kernel_size, self.stride, groups=mid,
                           act=None, **_BN, name="dw")(y, train)
         y = GhostModule(self.out_channels, act=None, name="ghost2")(y, train)
-        if self.use_res and self.stride == 1 and x.shape[-1] == self.out_channels:
-            return x + y
-        return y
+        if in_ch == self.out_channels and self.stride == 1:
+            return y + x
+        s = ConvBNAct(in_ch, self.kernel_size, self.stride, groups=in_ch,
+                      act=None, **_BN, name="sc_dw")(x, train)
+        s = ConvBNAct(self.out_channels, 1, act=None, **_BN,
+                      name="sc_pw")(s, train)
+        return y + s
 
 
 @NECKS.register(name="GhostPAN")
@@ -69,42 +107,41 @@ class GhostPAN(nn.Module):
     @nn.compact
     def __call__(self, feats, train: bool = False):
         n = len(feats)
-        # reduce
+        ks = self.kernel_size
+
+        def dwsep(x, name):
+            return DepthwiseSeparableConv(
+                self.out_channels, ks, 2, act=self.act, **_BN,
+                name=name)(x, train)
+
         laterals = [
             ConvBNAct(self.out_channels, 1, act=self.act, **_BN,
                       name=f"reduce{i}")(f, train)
             for i, f in enumerate(feats)
         ]
         # top-down
-        from .yolov5_neck import upsample2x
-
         inner = list(laterals)
         for i in range(n - 1, 0, -1):
-            up = upsample2x(inner[i])
+            up = upsample2x_bilinear_ac(inner[i])
             cat = jnp.concatenate([up, inner[i - 1]], -1)
             for b in range(self.num_blocks):
                 cat = GhostBottleneck(
-                    self.out_channels,
-                    act=self.act, kernel_size=self.kernel_size,
-                    name=f"td{i}_{b}")(cat, train)
+                    self.out_channels, kernel_size=ks, act=self.act,
+                    name=f"td{i}_b{b}")(cat, train)
             inner[i - 1] = cat
         # bottom-up
         outs = [inner[0]]
         for i in range(n - 1):
-            down = ConvBNAct(self.out_channels, self.kernel_size, 2,
-                             groups=self.out_channels if self.use_depthwise else 1,
-                             act=self.act, **_BN, name=f"down{i}")(outs[-1], train)
+            down = dwsep(outs[-1], f"down{i}")
             cat = jnp.concatenate([down, inner[i + 1]], -1)
             for b in range(self.num_blocks):
                 cat = GhostBottleneck(
-                    self.out_channels, act=self.act,
-                    kernel_size=self.kernel_size,
-                    name=f"bu{i}_{b}")(cat, train)
+                    self.out_channels, kernel_size=ks, act=self.act,
+                    name=f"bu{i}_b{b}")(cat, train)
             outs.append(cat)
-        # extra levels
+        # extra levels: downsampled last LATERAL + downsampled last OUTPUT
+        # (reference ghost_pan.py:219-220)
         for e in range(self.num_extra_levels):
-            outs.append(
-                ConvBNAct(self.out_channels, self.kernel_size, 2,
-                          act=self.act, **_BN,
-                          name=f"extra{e}")(outs[-1], train))
+            outs.append(dwsep(laterals[-1], f"extra_in{e}") +
+                        dwsep(outs[-1], f"extra_out{e}"))
         return tuple(outs)

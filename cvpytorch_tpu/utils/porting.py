@@ -364,3 +364,49 @@ YOLOV6_RULES = (
 )
 # BiFusion upsamplers are raw ConvTranspose2d (yolo_modules.py:255)
 YOLOV6_TRANSPOSED = (r"neck\.bifusion\d\.upsample",)
+
+
+def _ghost_bottleneck_rules(pat: str, rep: str):
+    """Torch GhostBottleneck children (ghostnet.py:109-147)."""
+    return [
+        (pat + r"\.ghost1\.primary_conv\.0", rep + r"/ghost1/primary/conv"),
+        (pat + r"\.ghost1\.primary_conv\.1", rep + r"/ghost1/primary/bn"),
+        (pat + r"\.ghost1\.cheap_operation\.0", rep + r"/ghost1/cheap/conv"),
+        (pat + r"\.ghost1\.cheap_operation\.1", rep + r"/ghost1/cheap/bn"),
+        (pat + r"\.conv_dw", rep + r"/dw/conv"),
+        (pat + r"\.bn_dw", rep + r"/dw/bn"),
+        (pat + r"\.ghost2\.primary_conv\.0", rep + r"/ghost2/primary/conv"),
+        (pat + r"\.ghost2\.primary_conv\.1", rep + r"/ghost2/primary/bn"),
+        (pat + r"\.ghost2\.cheap_operation\.0", rep + r"/ghost2/cheap/conv"),
+        (pat + r"\.ghost2\.cheap_operation\.1", rep + r"/ghost2/cheap/bn"),
+        (pat + r"\.shortcut\.0", rep + r"/sc_dw/conv"),
+        (pat + r"\.shortcut\.1", rep + r"/sc_dw/bn"),
+        (pat + r"\.shortcut\.2", rep + r"/sc_pw/conv"),
+        (pat + r"\.shortcut\.3", rep + r"/sc_pw/bn"),
+    ]
+
+
+def _dw_module_rules(pat: str, rep: str):
+    """Torch DepthwiseConvModule children (nanodet modules/convs.py:136)."""
+    return [
+        (pat + r"\.depthwise", rep + r"/dw/conv"),
+        (pat + r"\.dwnorm", rep + r"/dw/bn"),
+        (pat + r"\.pointwise", rep + r"/pw/conv"),
+        (pat + r"\.pwnorm", rep + r"/pw/bn"),
+    ]
+
+
+# reference src/models/necks/ghost_pan.py:14-222 → models/necks/ghost_pan.py
+# (3 pyramid levels: top_down_blocks.k fuses level n-1-k, hence td2/td1)
+GHOSTPAN_RULES = (
+    [(r"reduce_layers\.(\d)\.(conv|bn)", r"reduce\1/\2")]
+    + _ghost_bottleneck_rules(r"top_down_blocks\.0\.blocks\.(\d)",
+                              r"td2_b\1")
+    + _ghost_bottleneck_rules(r"top_down_blocks\.1\.blocks\.(\d)",
+                              r"td1_b\1")
+    + _ghost_bottleneck_rules(r"bottom_up_blocks\.(\d)\.blocks\.(\d)",
+                              r"bu\1_b\2")
+    + _dw_module_rules(r"downsamples\.(\d)", r"down\1")
+    + _dw_module_rules(r"extra_lvl_in_conv\.(\d)", r"extra_in\1")
+    + _dw_module_rules(r"extra_lvl_out_conv\.(\d)", r"extra_out\1")
+)

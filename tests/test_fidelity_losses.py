@@ -241,3 +241,38 @@ def test_lovasz_matches_reference():
     ref = float(RefLovasz()(t_logits, t_labels))
     got = float(lovasz_softmax(logits, labels))
     np.testing.assert_allclose(got, ref, rtol=1e-4)
+
+
+@pytest.mark.parametrize("loss_type", ["focal", "sigmoid", "softmax"])
+def test_class_balanced_loss_matches_reference(loss_type):
+    """CB loss on effective sample numbers
+    (reference cb_loss.py:55-89)."""
+    from src.losses.cb_loss import CB_loss
+
+    from cvpytorch_tpu.models.losses.cls_loss import class_balanced_loss
+
+    rs = np.random.RandomState(3)
+    nc = 5
+    logits = rs.rand(10, nc).astype(np.float32)
+    labels = rs.randint(0, nc, (10,))
+    spc = [2, 3, 1, 2, 2]
+    if loss_type == "sigmoid":
+        # reference passes an invalid 'weights=' kwarg on this branch —
+        # reproduce its intent (weighted BCE) instead of its TypeError
+        import torch as _t
+        w = 1.0 - np.power(0.9999, spc)
+        w = (1 - 0.9999) / w
+        w = w / w.sum() * nc
+        oh = np.eye(nc, dtype=np.float32)[labels]
+        ww = (oh * w[None]).sum(1, keepdims=True)
+        want = _t.nn.functional.binary_cross_entropy_with_logits(
+            _t.from_numpy(logits), _t.from_numpy(oh),
+            weight=_t.from_numpy(ww.astype(np.float32))).item()
+    else:
+        import torch as _t
+        want = float(CB_loss(_t.from_numpy(labels), _t.from_numpy(logits),
+                             spc, nc, loss_type, 0.9999, 2.0))
+    got = float(class_balanced_loss(jnp.asarray(logits),
+                                    jnp.asarray(labels), spc,
+                                    loss_type=loss_type))
+    np.testing.assert_allclose(got, want, rtol=1e-5)

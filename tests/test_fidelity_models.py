@@ -540,3 +540,43 @@ def test_yolov6_backbone_neck_matches_reference():
     for g, w in zip(got, want):
         np.testing.assert_allclose(
             np.asarray(g).transpose(0, 3, 1, 2), w.numpy(), atol=1e-3)
+
+
+def test_ghostpan_matches_reference():
+    """GhostPAN parity: ghost bottlenecks incl. their dw+pw shortcut
+    branches, align-corners bilinear upsampling and the summed extra
+    level (reference necks/ghost_pan.py:14-222)."""
+    from src.models.necks.ghost_pan import GhostPAN as RefNeck
+
+    from cvpytorch_tpu.models.necks.ghost_pan import GhostPAN
+    from cvpytorch_tpu.utils.porting import GHOSTPAN_RULES
+
+    torch.manual_seed(0)
+    ref = RefNeck(in_channels=[116, 232, 464], out_channels=96,
+                  kernel_size=5, num_extra_levels=1, use_depthwise=True,
+                  activation="LeakyReLU")
+    _randomize_bn(ref)
+    ref.eval()
+
+    rs = np.random.RandomState(11)
+    feats_t = [rs.rand(2, c, s, s).astype(np.float32)
+               for c, s in ((116, 16), (232, 8), (464, 4))]
+    with torch.no_grad():
+        want = ref([to_torch(f) for f in feats_t])
+
+    sd = {k: v for k, v in ref.state_dict().items()}
+    ported = port_state_dict(sd, GHOSTPAN_RULES, strict=True)
+
+    neck = GhostPAN(in_channels=(116, 232, 464), out_channels=96,
+                    kernel_size=5, num_extra_levels=1)
+    feats = tuple(jnp.asarray(f.transpose(0, 2, 3, 1)) for f in feats_t)
+    variables = neck.init({"params": jax.random.PRNGKey(0)}, feats)
+    errs = verify_tree_shapes(ported["params"], dict(variables["params"]))
+    assert not errs, errs
+    got = neck.apply(
+        {"params": ported["params"], "batch_stats": ported["batch_stats"]},
+        feats, False)
+    assert len(got) == len(want) == 4
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(
+            np.asarray(g).transpose(0, 3, 1, 2), w.numpy(), atol=5e-4)
