@@ -410,3 +410,16 @@ GHOSTPAN_RULES = (
     + _dw_module_rules(r"extra_lvl_in_conv\.(\d)", r"extra_in\1")
     + _dw_module_rules(r"extra_lvl_out_conv\.(\d)", r"extra_out\1")
 )
+
+
+# reference src/models/heads/det/yolov6_effidehead.py:17-147
+# → models/yolov6.py Effidehead
+YOLOV6_HEAD_RULES = [
+    (r"stems\.(\d)\.(conv|bn)", r"stem\1/\2"),
+    (r"cls_convs\.(\d)\.(conv|bn)", r"cls_conv\1/\2"),
+    (r"reg_convs\.(\d)\.(conv|bn)", r"reg_conv\1/\2"),
+    (r"cls_preds\.(\d)", r"cls_out\1"),
+    (r"reg_preds\.(\d)", r"reg_out\1"),
+    (r"proj_conv", r""),   # DFL projection — constant in our decode
+    (r"proj", r""),        # registered DFL buffer (effidehead.py:93)
+]

@@ -580,3 +580,47 @@ def test_ghostpan_matches_reference():
     for g, w in zip(got, want):
         np.testing.assert_allclose(
             np.asarray(g).transpose(0, 3, 1, 2), w.numpy(), atol=5e-4)
+
+
+def test_yolov6_effidehead_matches_reference():
+    """Decoupled v6 head parity (reference yolov6_effidehead.py:17-147,
+    's' config: reg_max=0, no DFL)."""
+    from src.models.heads.det.yolov6_effidehead import YOLOv6Effidehead
+
+    from cvpytorch_tpu.models.yolov6 import Effidehead
+    from cvpytorch_tpu.utils.porting import YOLOV6_HEAD_RULES
+
+    torch.manual_seed(0)
+    nc = 4
+    # the head width-scales in_channels by the subtype cfg (0.5 for 's')
+    ref = YOLOv6Effidehead(subtype="yolov6_s", num_classes=nc,
+                           in_channels=[128, 256, 512], use_dfl=False)
+    _randomize_bn(ref)
+    ref.eval()
+    ref.train()   # train-mode forward returns raw per-level lists
+    for m in ref.modules():
+        if isinstance(m, torch.nn.BatchNorm2d):
+            m.eval()  # keep running stats (we compare eval BN math)
+
+    rs = np.random.RandomState(12)
+    feats_t = [rs.rand(2, c, s, s).astype(np.float32)
+               for c, s in ((64, 8), (128, 4), (256, 2))]
+    with torch.no_grad():
+        _, cls_scores, reg_distri = ref([to_torch(f) for f in feats_t])
+
+    sd = {k: v for k, v in ref.state_dict().items()}
+    ported = port_state_dict(sd, YOLOV6_HEAD_RULES, strict=True)
+
+    head = Effidehead(num_classes=nc)
+    feats = tuple(jnp.asarray(f.transpose(0, 2, 3, 1)) for f in feats_t)
+    variables = head.init({"params": jax.random.PRNGKey(0)}, feats)
+    errs = verify_tree_shapes(ported["params"], dict(variables["params"]))
+    assert not errs, errs
+    got = head.apply(
+        {"params": ported["params"], "batch_stats": ported["batch_stats"]},
+        feats, False)                      # (B, P, 4 + C): [reg, cls]
+    np.testing.assert_allclose(
+        np.asarray(got[..., :4]), reg_distri.numpy(), atol=5e-4)
+    np.testing.assert_allclose(
+        np.asarray(jax.nn.sigmoid(got[..., 4:])), cls_scores.numpy(),
+        atol=5e-4)
