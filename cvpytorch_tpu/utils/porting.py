@@ -423,3 +423,24 @@ YOLOV6_HEAD_RULES = [
     (r"proj_conv", r""),   # DFL projection — constant in our decode
     (r"proj", r""),        # registered DFL buffer (effidehead.py:93)
 ]
+
+
+# reference src/models/backbones/shufflenet_v2.py:20-78 (slices torchvision
+# shufflenet_v2_* children) → backbones/shufflenetv2.py
+SHUFFLENETV2_RULES = [
+    (r"stem\.0", r"stem/conv"),
+    (r"stem\.1", r"stem/bn"),
+    (r"layer(\d)\.(\d+)\.branch1\.0", r"stage\1_unit\2/b1_dw/conv"),
+    (r"layer(\d)\.(\d+)\.branch1\.1", r"stage\1_unit\2/b1_dw/bn"),
+    (r"layer(\d)\.(\d+)\.branch1\.2", r"stage\1_unit\2/b1_pw/conv"),
+    (r"layer(\d)\.(\d+)\.branch1\.3", r"stage\1_unit\2/b1_pw/bn"),
+    (r"layer(\d)\.(\d+)\.branch2\.0", r"stage\1_unit\2/b2_pw1/conv"),
+    (r"layer(\d)\.(\d+)\.branch2\.1", r"stage\1_unit\2/b2_pw1/bn"),
+    (r"layer(\d)\.(\d+)\.branch2\.3", r"stage\1_unit\2/b2_dw/conv"),
+    (r"layer(\d)\.(\d+)\.branch2\.4", r"stage\1_unit\2/b2_dw/bn"),
+    (r"layer(\d)\.(\d+)\.branch2\.5", r"stage\1_unit\2/b2_pw2/conv"),
+    (r"layer(\d)\.(\d+)\.branch2\.6", r"stage\1_unit\2/b2_pw2/bn"),
+    (r"conv5\.0", r"last_conv/conv"),
+    (r"conv5\.1", r"last_conv/bn"),
+    (r"fc", r"fc"),
+]

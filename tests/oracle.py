@@ -118,6 +118,20 @@ def _make_torchvision():
     models.mobilenet = mb_mod
     models.mobilenetv2 = mbv2_mod
 
+    shuffle_mod = types.ModuleType("torchvision.models.shufflenetv2")
+    for name in ("shufflenet_v2_x0_5", "shufflenet_v2_x1_0",
+                 "shufflenet_v2_x1_5", "shufflenet_v2_x2_0"):
+        def _sfactory(pretrained=False, _name=name, **kw):
+            if pretrained:
+                raise RuntimeError("zero-egress: no pretrained weights")
+            return getattr(_lazy_models(), _name)(**kw)
+        setattr(shuffle_mod, name, _sfactory)
+        setattr(models, name, _sfactory)
+    shuffle_mod.model_urls = {n: "" for n in (
+        "shufflenetv2_x0.5", "shufflenetv2_x1.0", "shufflenetv2_x1.5",
+        "shufflenetv2_x2.0")}
+    models.shufflenetv2 = shuffle_mod
+
     detection = types.ModuleType("torchvision.models.detection")
     detection.maskrcnn_resnet50_fpn = _Unavailable
     detection.fasterrcnn_resnet50_fpn = _Unavailable

@@ -624,3 +624,39 @@ def test_yolov6_effidehead_matches_reference():
     np.testing.assert_allclose(
         np.asarray(jax.nn.sigmoid(got[..., 4:])), cls_scores.numpy(),
         atol=5e-4)
+
+
+def test_shufflenetv2_backbone_matches_reference():
+    """NanoDet's backbone parity (reference backbones/shufflenet_v2.py:20
+    slicing torchvision shufflenet_v2_x1_0 — provided by
+    tests/oracle_models as a faithful pure-torch reimplementation)."""
+    from src.models.backbones.shufflenet_v2 import ShuffleNetV2 as RefSNV2
+
+    from cvpytorch_tpu.models.backbones.shufflenetv2 import ShuffleNetV2
+    from cvpytorch_tpu.utils.porting import SHUFFLENETV2_RULES
+
+    torch.manual_seed(0)
+    ref = RefSNV2(subtype="shufflenetv2_x1.0", out_stages=[2, 3, 4],
+                  pretrained=False)
+    _randomize_bn(ref)
+    ref.eval()
+
+    x = np.random.RandomState(13).rand(1, 3, 64, 64).astype(np.float32)
+    with torch.no_grad():
+        want = ref(to_torch(x))
+
+    sd = {k: v for k, v in ref.state_dict().items()
+          if not k.startswith(("conv5", "fc"))}
+    ported = port_state_dict(sd, SHUFFLENETV2_RULES, strict=True)
+
+    model = ShuffleNetV2(subtype="shufflenetv2_x1.0", out_stages=(2, 3, 4))
+    xs = jnp.asarray(x.transpose(0, 2, 3, 1))
+    variables = model.init(jax.random.PRNGKey(0), xs)
+    errs = verify_tree_shapes(ported["params"], dict(variables["params"]))
+    assert not errs, errs
+    feats = model.apply(
+        {"params": ported["params"], "batch_stats": ported["batch_stats"]},
+        xs, False)
+    for g, w in zip(feats, want):
+        np.testing.assert_allclose(
+            np.asarray(g).transpose(0, 3, 1, 2), w.numpy(), atol=3e-4)
