@@ -202,7 +202,7 @@ def channel_shuffle(x, groups):
     return x.view(b, -1, h, w)
 
 
-class InvertedResidual(nn.Module):
+class ShuffleInvertedResidual(nn.Module):
     def __init__(self, inp, oup, stride):
         super().__init__()
         self.stride = stride
@@ -255,9 +255,9 @@ class ShuffleNetV2(nn.Module):
         stage_names = ["stage{}".format(i) for i in [2, 3, 4]]
         for name, repeats, output_channels in zip(
                 stage_names, stages_repeats, stages_out_channels[1:]):
-            seq = [InvertedResidual(input_channels, output_channels, 2)]
+            seq = [ShuffleInvertedResidual(input_channels, output_channels, 2)]
             for _ in range(repeats - 1):
-                seq.append(InvertedResidual(output_channels,
+                seq.append(ShuffleInvertedResidual(output_channels,
                                             output_channels, 1))
             setattr(self, name, nn.Sequential(*seq))
             input_channels = output_channels
