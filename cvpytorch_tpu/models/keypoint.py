@@ -253,3 +253,48 @@ def decode_heatmaps(hm):
     ys = (idx // w).astype(jnp.float32)
     xs = (idx % w).astype(jnp.float32)
     return jnp.stack([xs, ys, conf], -1)
+
+
+def keypoints_to_instances(kpts, in_hw, hm_hw, targets=None,
+                           vis_threshold: float = 0.2):
+    """Bridge ``decode_heatmaps`` output to the OKS COCO evaluator.
+
+    kpts (B, K, 3) in heatmap pixels → one instance per image with
+    keypoints in ORIGINAL image pixels (un-letterboxed through the
+    padded-target ``pads``/``scales``), a bounding box over the confident
+    keypoints, ``score`` = mean confidence and v=2 visibility flags —
+    the dict `evaluator.coco.CocoEvaluator(iou_types=('bbox','keypoints'))`
+    consumes.  (The reference's evaluator factory has a coco_keypoints
+    branch, evaluator/__init__.py:30, but never wires a model to it; this
+    completes the path for top-down single-instance heatmap models.)
+    """
+    B, K, _ = kpts.shape
+    sy = in_hw[0] / hm_hw[0]
+    sx = in_hw[1] / hm_hw[1]
+    x = kpts[..., 0] * sx
+    y = kpts[..., 1] * sy
+    c = kpts[..., 2]
+    if targets is not None and "pads" in targets:
+        x = (x - targets["pads"][:, 0:1]) / targets["scales"][:, 0:1]
+        y = (y - targets["pads"][:, 1:2]) / targets["scales"][:, 1:2]
+    vis = c > vis_threshold
+    big = jnp.where(vis, x, jnp.inf)
+    small = jnp.where(vis, x, -jnp.inf)
+    x1, x2 = jnp.min(big, 1), jnp.max(small, 1)
+    big = jnp.where(vis, y, jnp.inf)
+    small = jnp.where(vis, y, -jnp.inf)
+    y1, y2 = jnp.min(big, 1), jnp.max(small, 1)
+    any_vis = vis.any(1)
+    boxes = jnp.where(
+        any_vis[:, None],
+        jnp.stack([x1, y1, x2, y2], -1),
+        jnp.zeros((B, 4)))[:, None, :]                     # (B, 1, 4)
+    out_kpts = jnp.stack(
+        [x, y, jnp.where(vis, 2.0, 0.0)], -1)[:, None]     # (B, 1, K, 3)
+    return {
+        "boxes": boxes,
+        "scores": jnp.mean(c, 1, keepdims=True),
+        "labels": jnp.zeros((B, 1), jnp.int32),
+        "valid": any_vis[:, None],
+        "keypoints": out_kpts,
+    }

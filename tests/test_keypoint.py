@@ -97,3 +97,39 @@ def test_litepose_contract(rng):
     assert preds.shape == (2, 5, 3)
     ldict, preds2 = model.apply(vars_, imgs, t, mode="val")
     assert preds2.shape == (2, 5, 3)
+
+
+def test_simplepose_to_oks_evaluator_e2e(rng):
+    """Full keypoint path: heatmap decode → instance bridge → OKS COCO
+    evaluator (beyond the reference, whose coco_keypoints branch is never
+    wired to a model)."""
+    from cvpytorch_tpu.evaluator.coco import CocoEvaluator
+    from cvpytorch_tpu.models.keypoint import (decode_heatmaps,
+                                               keypoints_to_instances,
+                                               render_gaussian_heatmaps)
+
+    K = 17
+    kp = np.zeros((1, K, 2), np.float32)
+    kp[0, :, 0] = np.linspace(4, 14, K)
+    kp[0, :, 1] = np.linspace(3, 13, K)
+    hm = render_gaussian_heatmaps(jnp.asarray(kp), jnp.ones((1, K), bool),
+                                  (16, 16))
+    dec = decode_heatmaps(hm)
+    inst = keypoints_to_instances(dec, (64, 64), (16, 16))
+    assert inst["keypoints"].shape == (1, 1, K, 3)
+    assert bool(inst["valid"][0, 0])
+
+    # GT = the same keypoints in image px → perfect bbox + OKS AP
+    gt_k = np.asarray(inst["keypoints"])[:, 0].copy()
+    targets = {
+        "boxes": np.asarray(inst["boxes"]),
+        "labels": np.zeros((1, 1), np.int64),
+        "valid": np.ones((1, 1), bool),
+        "pads": np.zeros((1, 2)), "scales": np.ones((1, 2)),
+        "keypoints": gt_k[:, None],
+    }
+    ev = CocoEvaluator(num_classes=1, iou_types=("bbox", "keypoints"))
+    ev.update(targets, {k: np.asarray(v) for k, v in inst.items()})
+    out = ev.evaluate()
+    assert out["keypoints_mAP"] == 1.0
+    assert out["bbox_mAP"] == 1.0
