@@ -9,6 +9,7 @@ from typing import Any, Sequence
 
 import jax
 import jax.numpy as jnp
+import optax
 from flax import linen as nn
 
 from ..config import dictionary_to_names_weights
@@ -93,14 +94,41 @@ _LAPLACIAN = jnp.array([[-1.0, -1, -1], [-1, 8, -1], [-1, -1, -1]])
 
 
 def detail_target(labels, ignore_index: int = 255):
-    """Binary boundary map from a seg mask via laplacian
-    (reference DetailAggregateLoss, seg_loss.py:325)."""
+    """Multi-scale binary boundary pyramid from a seg mask (reference
+    DetailAggregateLoss, seg_loss.py:325-377 EXACTLY): laplacian at
+    strides 1/2/4, clamp(min=0), nearest-upsample, threshold at 0.1,
+    fused with the [0.6, 0.3, 0.1] kernel, re-thresholded.  (The
+    reference also computes a stride-8 map it never stacks.)"""
     m = jnp.where(labels == ignore_index, 0, labels).astype(jnp.float32)
     k = _LAPLACIAN.reshape(3, 3, 1, 1)
-    e = jax.lax.conv_general_dilated(
-        m[..., None], k, (1, 1), "SAME",
-        dimension_numbers=("NHWC", "HWIO", "NHWC"))[..., 0]
-    return (jnp.abs(e) > 0.1).astype(jnp.float32)
+    H, W = m.shape[1:3]
+
+    def lap(stride):
+        e = jax.lax.conv_general_dilated(
+            m[..., None], k, (stride, stride), ((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))[..., 0]
+        return jnp.clip(e, 0.0, None)
+
+    def up(x):
+        return jax.image.resize(x, (x.shape[0], H, W), method="nearest")
+
+    t1 = (lap(1) > 0.1).astype(jnp.float32)
+    t2 = (up(lap(2)) > 0.1).astype(jnp.float32)
+    t4 = (up(lap(4)) > 0.1).astype(jnp.float32)
+    fused = 0.6 * t1 + 0.3 * t2 + 0.1 * t4
+    return (fused > 0.1).astype(jnp.float32)
+
+
+def detail_loss(detail_logits, labels, ignore_index: int = 255):
+    """BCE + dice over the fused boundary target (reference
+    seg_loss.py:378-384 + dice_loss_func :312-322)."""
+    t = detail_target(labels, ignore_index)
+    bce = optax.sigmoid_binary_cross_entropy(detail_logits, t).mean()
+    p = jax.nn.sigmoid(detail_logits).reshape(t.shape[0], -1)
+    tf = t.reshape(t.shape[0], -1)
+    inter = (p * tf).sum(1)
+    dice = 1.0 - (2.0 * inter + 1.0) / (p.sum(1) + tf.sum(1) + 1.0)
+    return bce, dice.mean()
 
 
 @MODELS.register(name="STDC")
@@ -141,13 +169,12 @@ class STDC(nn.Module):
             return jnp.argmax(logits, -1)
         w = jnp.asarray(self._w)
         seg = ohem_cross_entropy_2d(logits, targets, class_weights=w)
-        dt = detail_target(targets)
-        import optax
-
-        det = optax.sigmoid_binary_cross_entropy(
-            detail_logits[..., 0], dt).mean()
+        # full DetailAggregateLoss: multi-scale fused boundary, BCE + dice
+        bce, dice = detail_loss(detail_logits[..., 0], targets)
+        det = bce + dice
         total = seg + self.detail_weight * det
-        losses = {"seg_loss": seg, "detail_loss": det, "loss": total}
+        losses = {"seg_loss": seg, "detail_bce": bce, "detail_dice": dice,
+                  "detail_loss": det, "loss": total}
         if mode == "train":
             return total, losses
         return losses, jnp.argmax(logits, -1)

@@ -276,3 +276,26 @@ def test_class_balanced_loss_matches_reference(loss_type):
                                     jnp.asarray(labels), spc,
                                     loss_type=loss_type))
     np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+def test_detail_aggregate_loss_matches_reference():
+    """Multi-scale boundary pyramid + BCE + dice (reference
+    seg_loss.py:325-384 DetailAggregateLoss — registered upstream but
+    wired to no model there)."""
+    import torch as _t
+
+    from src.losses.seg_loss import DetailAggregateLoss
+
+    from cvpytorch_tpu.models.light_seg import detail_loss
+
+    rs = np.random.RandomState(5)
+    labels = (rs.rand(2, 32, 32) > 0.6).astype(np.int64)
+    logits = rs.randn(2, 32, 32).astype(np.float32)
+
+    ref = DetailAggregateLoss()
+    with _t.no_grad():
+        bce_w, dice_w = ref(_t.from_numpy(logits)[:, None],
+                            _t.from_numpy(labels))
+    bce_g, dice_g = detail_loss(jnp.asarray(logits), jnp.asarray(labels))
+    np.testing.assert_allclose(float(bce_g), float(bce_w), rtol=1e-5)
+    np.testing.assert_allclose(float(dice_g), float(dice_w), rtol=1e-5)
