@@ -170,7 +170,14 @@ class CocoSegmentation(CocoDetection):
     """Instance segmentation: detection targets + per-instance masks
     rasterized at MASK_SIZE (reference: coco.py:252)."""
 
-    MASK_SIZE = 112
+    MASK_SIZE = 112   # default; override per-dataset with yaml MASK_SIZE
+
+    def __init__(self, data_cfg=None, dictionary=None, transform=None,
+                 target_transform=None, stage="train"):
+        super().__init__(data_cfg, dictionary, transform, target_transform,
+                         stage)
+        self.mask_size = int(getattr(data_cfg, "MASK_SIZE", None)
+                             or self.MASK_SIZE)
 
     def _load_one(self, idx: int) -> dict:
         sample = super()._load_one(idx)
@@ -179,12 +186,13 @@ class CocoSegmentation(CocoDetection):
             masks = [
                 _rasterize_polygons(a.get("segmentation", []),
                                     item["height"], item["width"],
-                                    self.MASK_SIZE)
+                                    self.mask_size)
                 for a in item["anns"]
             ]
             sample["target"]["masks"] = (
                 np.stack(masks) if masks
-                else np.zeros((0, self.MASK_SIZE, self.MASK_SIZE), np.float32))
+                else np.zeros((0, self.mask_size, self.mask_size),
+                              np.float32))
         return sample
 
 
