@@ -52,13 +52,15 @@ class RepVGGBlock(nn.Module):
         return nn.relu(out)
 
 
-def fuse_repvgg_kernel(params, batch_stats, in_ch, out_ch, has_identity):
+def fuse_repvgg_kernel(params, batch_stats, in_ch, out_ch, has_identity,
+                       eps: float = 1e-5):
     """Fuse 3×3/1×1/identity branches into one (3,3,in,out) kernel + bias
-    (reference: yolov6_modules.py RepVGGBlock.switch_to_deploy)."""
+    (reference: yolov6_modules.py RepVGGBlock.switch_to_deploy).
+    Pass eps=1e-3 for YOLOv6-family blocks (their BN uses 1e-3)."""
     def bn_fold(kernel, bn_p, bn_s):
         gamma, beta = bn_p["scale"], bn_p["bias"]
         mean, var = bn_s["mean"], bn_s["var"]
-        std = np.sqrt(var + 1e-5)
+        std = np.sqrt(var + eps)
         k = kernel * (gamma / std)[None, None, None, :]
         b = beta - mean * gamma / std
         return k, b
