@@ -29,7 +29,8 @@ class Scale(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        s = self.param("scale", lambda k: jnp.asarray(self.init))
+        # shape (1,) like the reference ScaleExp parameter
+        s = self.param("scale", lambda k: jnp.full((1,), self.init))
         return x * s
 
 
@@ -48,12 +49,14 @@ class FCOSHead(nn.Module):
 
         cls_tower = [
             (nn.Conv(self.channels, (3, 3), padding=1, name=f"cls_conv{i}"),
-             nn.GroupNorm(num_groups=32, name=f"cls_gn{i}"))
+             nn.GroupNorm(num_groups=32, epsilon=1e-5,
+                          name=f"cls_gn{i}"))
             for i in range(self.stacked_convs)
         ]
         reg_tower = [
             (nn.Conv(self.channels, (3, 3), padding=1, name=f"reg_conv{i}"),
-             nn.GroupNorm(num_groups=32, name=f"reg_gn{i}"))
+             nn.GroupNorm(num_groups=32, epsilon=1e-5,
+                          name=f"reg_gn{i}"))
             for i in range(self.stacked_convs)
         ]
         cls_out = nn.Conv(

@@ -444,3 +444,15 @@ SHUFFLENETV2_RULES = [
     (r"conv5\.1", r"last_conv/bn"),
     (r"fc", r"fc"),
 ]
+
+
+# reference src/models/heads/fcos_head.py:22-90 → models/heads/fcos_head.py
+FCOS_HEAD_RULES = (
+    [(rf"cls_conv\.{i * 3}", rf"cls_conv{i}") for i in range(4)]
+    + [(rf"cls_conv\.{i * 3 + 1}", rf"cls_gn{i}") for i in range(4)]
+    + [(rf"reg_conv\.{i * 3}", rf"reg_conv{i}") for i in range(4)]
+    + [(rf"reg_conv\.{i * 3 + 1}", rf"reg_gn{i}") for i in range(4)]
+    + [(r"cls_logits", r"cls_out"), (r"cnt_logits", r"cnt_out"),
+       (r"reg_pred", r"reg_out"),
+       (r"scale_exp\.(\d)", r"scale\1")]
+)

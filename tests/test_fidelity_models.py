@@ -660,3 +660,41 @@ def test_shufflenetv2_backbone_matches_reference():
     for g, w in zip(feats, want):
         np.testing.assert_allclose(
             np.asarray(g).transpose(0, 3, 1, 2), w.numpy(), atol=3e-4)
+
+
+def test_fcos_head_matches_reference():
+    """FCOS shared head parity: 4×(conv+GN) towers, centerness on the
+    reg branch, per-level exp(scale·reg)
+    (reference heads/fcos_head.py:22-90)."""
+    from src.models.heads.fcos_head import FCOSHead as RefHead
+
+    from cvpytorch_tpu.models.heads.fcos_head import FCOSHead
+    from cvpytorch_tpu.utils.porting import FCOS_HEAD_RULES
+
+    torch.manual_seed(0)
+    nc, ch = 4, 64
+    ref = RefHead(num_classes=nc, in_channel=ch)
+    ref.eval()
+
+    rs = np.random.RandomState(14)
+    feats_t = [rs.rand(1, ch, s, s).astype(np.float32)
+               for s in (16, 8, 4, 2, 1)]
+    with torch.no_grad():
+        cls_w, cnt_w, reg_w = ref([to_torch(f) for f in feats_t])
+
+    ported = port_state_dict(dict(ref.state_dict()), FCOS_HEAD_RULES,
+                             strict=True)
+    head = FCOSHead(num_classes=nc, channels=ch)
+    feats = tuple(jnp.asarray(f.transpose(0, 2, 3, 1)) for f in feats_t)
+    variables = head.init({"params": jax.random.PRNGKey(0)}, feats)
+    errs = verify_tree_shapes(ported["params"], dict(variables["params"]))
+    assert not errs, errs
+    outs = head.apply({"params": ported["params"]}, feats, False)
+    for (cg, ng, rg), cw, nw, rw in zip(outs, cls_w, cnt_w, reg_w):
+        np.testing.assert_allclose(
+            np.asarray(cg).transpose(0, 3, 1, 2), cw.numpy(), atol=5e-4)
+        np.testing.assert_allclose(
+            np.asarray(ng).transpose(0, 3, 1, 2), nw.numpy(), atol=5e-4)
+        np.testing.assert_allclose(
+            np.asarray(rg).transpose(0, 3, 1, 2), rw.numpy(),
+            rtol=1e-4, atol=5e-4)
