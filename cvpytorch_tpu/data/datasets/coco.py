@@ -85,7 +85,12 @@ class CocoDetection(Dataset):
 
         paths = [os.path.join(self.img_dir, it["file_name"])
                  for it in self.items]
-        h = hashlib.md5("".join(paths).encode()).hexdigest()
+        # key on path + size + mtime so re-downloaded / fixed images with
+        # the same names invalidate the cache (reference cache-versioning)
+        sig = "".join(
+            f"{p}:{os.path.getsize(p)}:{int(os.path.getmtime(p))}"
+            if os.path.isfile(p) else p for p in paths)
+        h = hashlib.md5(sig.encode()).hexdigest()
         cache_path = os.path.join(
             os.path.dirname(os.path.abspath(self.img_dir)),
             f"{self.stage}_{h[:12]}.cache.npy")
@@ -212,4 +217,11 @@ class CocoKeypoint(CocoDetection):
                 kps.append(k)
             sample["target"]["keypoints"] = (
                 np.stack(kps) if kps else np.zeros((0, 17, 3), np.float32))
+            # pycocotools computeOks normalizes by the annotation
+            # 'area' (segmentation area), NOT the box area — carry it
+            # through, falling back to box area when absent
+            sample["target"]["areas"] = np.asarray(
+                [a.get("area") or
+                 (a["bbox"][2] * a["bbox"][3]) for a in item["anns"]],
+                np.float32)
         return sample

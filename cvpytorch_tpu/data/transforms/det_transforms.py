@@ -667,6 +667,7 @@ def make_det_collate(max_boxes: int = 64):
         img_ids = np.zeros((B,), np.int64)
         masks = None
         kpts = None
+        areas = None
         for i, s in enumerate(samples):
             t = s.get("target")
             heights[i], widths[i] = s["image"].shape[:2]
@@ -687,6 +688,12 @@ def make_det_collate(max_boxes: int = 64):
                         K = t["keypoints"].shape[1]
                         kpts = np.zeros((B, max_boxes, K, 3), np.float32)
                     kpts[i, :n] = t["keypoints"][:n]
+                if t.get("areas") is not None and len(t["areas"]):
+                    # annotation (segmentation) areas — the OKS protocol
+                    # normalizes by these, not by box areas
+                    if areas is None:
+                        areas = np.zeros((B, max_boxes), np.float32)
+                    areas[i, :n] = t["areas"][:n]
             pads[i] = t.get("pads", (0, 0))
             scales[i] = t.get("scales", (1, 1))
             if "height" in t:
@@ -703,6 +710,8 @@ def make_det_collate(max_boxes: int = 64):
             target["masks"] = masks
         if kpts is not None:
             target["keypoints"] = kpts
+        if areas is not None:
+            target["areas"] = areas
         return {"image": images, "target": target, "image_id": img_ids}
 
     return det_collate

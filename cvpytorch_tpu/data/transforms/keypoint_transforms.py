@@ -188,6 +188,8 @@ class RandomResizedCrop:
                    ((b[:, 3] - b[:, 1]) >= self.min_size)
             t["boxes"] = b[keep]
             t["labels"] = t["labels"][keep]
+            if t.get("areas") is not None and len(t["areas"]):
+                t["areas"] = t["areas"][keep]
             if t.get("keypoints") is not None and len(t["keypoints"]):
                 k = t["keypoints"][keep].copy()
                 k[..., 0] -= j

@@ -150,6 +150,8 @@ class MaskRCNN(nn.Module):
     score_threshold: float = 0.05
     iou_threshold: float = 0.5
     max_det: int = 100
+    mask_size: int = 112              # paste canvas; must equal the
+                                      # dataset's MASK_SIZE for segm eval
 
     def setup(self):
         self.num_classes = max(len(self.dictionary), 1)
@@ -358,5 +360,6 @@ class MaskRCNN(nn.Module):
             else:
                 hs = jnp.full((B,), h, jnp.float32)
                 ws = jnp.full((B,), w, jnp.float32)
-            out["masks"] = paste_masks(probs, out_boxes, hs, ws)
+            out["masks"] = paste_masks(probs, out_boxes, hs, ws,
+                                       out_size=self.mask_size)
         return out

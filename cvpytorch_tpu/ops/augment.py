@@ -339,8 +339,13 @@ def fused_det_augment(images, boxes, valid, key, out_size: int,
         ms[:, 0, 0] * ms[:, 1, 1] - ms[:, 0, 1] * ms[:, 1, 0]))
     keep = jax.vmap(box_candidates_mask)(
         mboxes * scale_b[:, None, None], nboxes) & mvalid
+    # BGR→RGB BEFORE the HSV jitter: hsv_jitter's RGB↔HSV math on an RGB
+    # image matches cv2's BGR-aware COLOR_BGR2HSV on the BGR tile (the
+    # hue formula is symmetric once channels carry their true roles);
+    # jittering the raw BGR tile would mirror the hue distribution.
+    out = out[..., ::-1]                         # BGR→RGB like ToTensor
     if hsv:
         out = hsv_jitter(out, k3)
     out, nboxes = random_hflip(out, nboxes, k4, flip_p)
-    out = normalize(out[..., ::-1], mean, std)   # BGR→RGB like ToTensor
+    out = normalize(out, mean, std)
     return out, nboxes, keep

@@ -43,12 +43,19 @@ class Checkpoints:
         self._ckptr = ocp.PyTreeCheckpointer()
         self.async_save = async_save
         self._pending: Optional[threading.Thread] = None
+        self._save_error: Optional[BaseException] = None
 
     def wait(self):
-        """Block until any in-flight async save has landed on disk."""
+        """Block until any in-flight async save has landed on disk.
+        Re-raises any exception the background save hit (disk full,
+        serialization error) — a silent failure here would let training
+        finish "successfully" with a truncated last/best checkpoint."""
         if self._pending is not None:
             self._pending.join()
             self._pending = None
+        if self._save_error is not None:
+            err, self._save_error = self._save_error, None
+            raise RuntimeError("async checkpoint save failed") from err
 
     @staticmethod
     def _snapshot(state):
@@ -62,7 +69,14 @@ class Checkpoints:
     def _launch(self, work):
         self.wait()
         if self.async_save:
-            self._pending = threading.Thread(target=work, daemon=True)
+            def guarded():
+                try:
+                    work()
+                except BaseException as e:   # surfaced by the next wait()
+                    logger.error("async checkpoint save failed: %s", e)
+                    self._save_error = e
+
+            self._pending = threading.Thread(target=guarded, daemon=True)
             self._pending.start()
         else:
             work()
