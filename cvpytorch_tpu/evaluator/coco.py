@@ -84,8 +84,9 @@ def _mask_iou(dt_masks, gt_masks, crowd):
 
 def _oks_iou(dt_kpts, gt_kpts, gt_boxes, gt_areas, crowd):
     """Object-keypoint-similarity matrix (D, G)
-    (pycocotools cocoeval.computeOks).  gt_areas: annotation areas
-    (box areas here — the dataset carries no polygon area); visibility
+    (pycocotools cocoeval.computeOks).  gt_areas: annotation
+    (segmentation) areas when the dataset carries them, box areas as a
+    fallback; visibility
     v>0 gates which keypoints count; a GT with no labeled keypoint falls
     back to a distance-to-expanded-box penalty."""
     D, G = len(dt_kpts), len(gt_kpts)
@@ -179,7 +180,7 @@ class COCOEvalNative:
 
     def add_image(self, gt_boxes, gt_labels, det_boxes, det_scores,
                   det_labels, gt_crowd=None, gt_masks=None, det_masks=None,
-                  gt_kpts=None, det_kpts=None):
+                  gt_kpts=None, det_kpts=None, gt_ann_areas=None):
         """All arrays unpadded, boxes xyxy original-image pixels."""
         gt_boxes = np.asarray(gt_boxes, np.float64).reshape(-1, 4)
         gt_labels = np.asarray(gt_labels).reshape(-1)
@@ -211,7 +212,8 @@ class COCOEvalNative:
             elif self.iou_type == "keypoints":
                 gk = np.asarray(gt_kpts)[g_sel]
                 dk = np.asarray(det_kpts)[d_sel][order]
-                gt_areas = box_areas(gb)
+                gt_areas = (np.asarray(gt_ann_areas, float)[g_sel]
+                            if gt_ann_areas is not None else box_areas(gb))
                 dt_areas = box_areas(db)
                 ious = _oks_iou(dk, gk, gb, gt_areas, crowd)
             else:
@@ -339,7 +341,22 @@ class CocoEvaluator(BaseEvaluator):
         """targets: padded dict {'boxes','labels','valid','pads','scales'
         [,'crowd'][,'masks']} (GT in network pixels — un-letterboxed here);
         preds: NMS output dict (already un-letterboxed by the model,
-        optionally with 'masks' (B,K,H,W) pasted instance masks)."""
+        optionally with 'masks' (B,K,H,W) pasted instance masks).
+
+        Bottom-up pose models (OpenPose) emit in-graph decode pieces
+        ('peaks_xy'/'peaks_score'/'conns') instead of instances; the host
+        assembly + COCO17 mapping happens here."""
+        if "conns" in preds:
+            from ..ops import paf as _paf
+
+            xy = np.asarray(preds["peaks_xy"])
+            sc = np.asarray(preds["peaks_score"])
+            cn = np.asarray(preds["conns"])
+            decoded = [_paf.assemble_instances(xy[b], sc[b], cn[b])
+                       for b in range(len(xy))]
+            preds = _paf.instances_to_eval(
+                decoded, stride=float(np.asarray(preds["stride"])[0]),
+                targets=targets)
         t_boxes = np.asarray(targets["boxes"])
         t_labels = np.asarray(targets["labels"])
         t_valid = np.asarray(targets["valid"])
@@ -366,10 +383,19 @@ class CocoEvaluator(BaseEvaluator):
                         gt_masks=np.asarray(targets["masks"])[i][gv],
                         det_masks=np.asarray(preds["masks"])[i][pv])
                 elif t == "keypoints":
-                    # (M, K, 3) / (D, K, 3) in original-image pixels
+                    # GT keypoints arrive in network px like the boxes —
+                    # un-letterbox them; det keypoints are already in
+                    # original px (models/instances_to_eval un-letterbox)
+                    gk = np.asarray(targets["keypoints"])[i][gv].copy()
+                    if len(gk):
+                        gk[..., 0] = (gk[..., 0] - pads[i, 0]) / scales[i, 0]
+                        gk[..., 1] = (gk[..., 1] - pads[i, 1]) / scales[i, 1]
                     kw = dict(
-                        gt_kpts=np.asarray(targets["keypoints"])[i][gv],
+                        gt_kpts=gk,
                         det_kpts=np.asarray(preds["keypoints"])[i][pv])
+                    if "areas" in targets:   # annotation areas for OKS
+                        kw["gt_ann_areas"] = \
+                            np.asarray(targets["areas"])[i][gv]
                 ev.add_image(
                     gb, t_labels[i][gv], p_boxes[i][pv], p_scores[i][pv],
                     p_labels[i][pv], gt_crowd=t_crowd[i][gv], **kw)

@@ -52,7 +52,10 @@ class PoseStage(nn.Module):
 class OpenPose(nn.Module):
     dictionary: Sequence[Any] = ()
     model_cfg: Any = None
-    num_keypoints: int = 17
+    # the OpenPose joint set: 17 COCO keypoints + synthesized neck
+    # (reference add_neck, keypoint_target_transforms.py:85-114); heatmap
+    # stages emit num_keypoints+1 channels (+background)
+    num_keypoints: int = 18
     num_limbs: int = 19
     num_stages: int = 3
     heatmap_stride: int = 8
@@ -88,25 +91,58 @@ class OpenPose(nn.Module):
             x = jnp.concatenate([base, hm, paf], -1)
         return hms, pafs
 
+    def _targets(self, images, targets):
+        """Training targets: rendered IN-GRAPH from the collated padded
+        COCO keypoints (``ops/paf.render_openpose_targets``, matching
+        reference keypoint_target_transforms.py:200-246) — no host-side
+        target transform, no precomputed fixtures.  Precomputed
+        'heatmaps'/'pafs' are still honored when a pipeline supplies
+        them."""
+        if "heatmaps" in targets and "pafs" in targets:
+            return targets["heatmaps"], targets["pafs"]
+        from ..ops.paf import render_openpose_targets
+
+        kp = targets["keypoints"]                    # (B, M, 17, 3)
+        valid = targets.get("valid")
+        if valid is None:
+            valid = (kp[..., 2] > 0).any(-1)
+        hm, paf = render_openpose_targets(
+            kp, valid.astype(jnp.float32), tuple(images.shape[1:3]),
+            stride=self.heatmap_stride)
+        return jax.lax.stop_gradient(hm), jax.lax.stop_gradient(paf)
+
     def __call__(self, images, targets=None, mode: str = "infer"):
         train = mode == "train"
         hms, pafs = self._forward(images, train=train)
         if mode == "infer":
             return {"heatmaps": hms[-1], "pafs": pafs[-1]}
-        # targets: {'heatmaps': (B,h,w,K+1), 'pafs': (B,h,w,2L),
-        #           'mask': (B,h,w)} rendered by the keypoint transforms
+        t_hm, t_paf = self._targets(images, targets)
         mask = targets.get("mask")
         m = mask[..., None] if mask is not None else 1.0
-        hm_loss = sum(((hm - targets["heatmaps"]) ** 2 * m).mean()
-                      for hm in hms)
-        paf_loss = sum(((paf - targets["pafs"]) ** 2 * m).mean()
-                       for paf in pafs)
+        hm_loss = sum(((hm - t_hm) ** 2 * m).mean() for hm in hms)
+        paf_loss = sum(((paf - t_paf) ** 2 * m).mean() for paf in pafs)
         total = hm_loss + paf_loss
         losses = {"heatmap_loss": hm_loss, "paf_loss": paf_loss,
                   "loss": total}
         if mode == "train":
             return total, losses
-        return losses, {"heatmaps": hms[-1], "pafs": pafs[-1]}
+        # val: bottom-up decode — peaks + PAF pair scoring + greedy
+        # matching stay in-graph (fixed shapes); the tiny instance
+        # assembly runs host-side in the evaluator bridge
+        from ..ops.paf import (NUM_JOINTS, find_peaks, greedy_limb_match,
+                               score_limb_pairs)
+
+        xy, score, valid = find_peaks(hms[-1][..., :NUM_JOINTS])
+        pair_scores, ok = score_limb_pairs(xy, valid, pafs[-1])
+        conns = greedy_limb_match(pair_scores, ok)
+        B = images.shape[0]
+        stride = images.shape[1] // hms[-1].shape[1]
+        preds = {
+            "heatmaps": hms[-1], "pafs": pafs[-1],
+            "peaks_xy": xy, "peaks_score": score, "conns": conns,
+            "stride": jnp.full((B,), stride, jnp.int32),
+        }
+        return losses, preds
 
 
 @MODELS.register(name="SimplePose")

@@ -104,7 +104,10 @@ class Trainer:
             )
             self.datasets[stage] = ds
             collate = None
-            if self.dictionary_name in ("DET_CLASSES", "INS_CLASSES"):
+            if self.dictionary_name in ("DET_CLASSES", "INS_CLASSES",
+                                        "KEYPOINT_CLASSES"):
+                # keypoint batches ride the same padded det collate
+                # (boxes/labels/keypoints/areas all fixed-shape)
                 dev_aug = stage_cfg.get("DEVICE_AUG") \
                     if stage == "train" else None
                 if dev_aug:
@@ -163,6 +166,12 @@ class Trainer:
             for k, v in self.cfg.USE_MODEL.items():
                 if k in fields and k not in ("dictionary", "model_cfg"):
                     extra[k] = tuple(v) if isinstance(v, list) else v
+            # the dataset's instance-mask raster size (DATASET.*.MASK_SIZE)
+            # must match the model's mask-paste canvas or segm eval breaks
+            ds = self.datasets.get("train") or self.datasets.get("val")
+            if ("mask_size" in fields and "mask_size" not in extra
+                    and ds is not None and hasattr(ds, "mask_size")):
+                extra["mask_size"] = int(ds.mask_size)
         self.model = model_cls(
             dictionary=tuple(
                 tuple(d.items())[0] and d for d in self.dictionary

@@ -45,22 +45,28 @@ def test_simplepose_contract(rng):
 
 
 def test_openpose_contract(rng):
-    model = OpenPose(num_keypoints=4, num_limbs=3, num_stages=2,
-                     model_cfg=None)
+    """OpenPose renders its own heatmap/PAF targets in-graph from padded
+    COCO keypoints (no precomputed fixtures; see test_paf.py for the
+    renderer's oracle parity and the trainer e2e)."""
+    model = OpenPose(num_stages=2, model_cfg={
+        "BACKBONE": {"name": "ResNet", "subtype": "resnet18",
+                     "out_stages": (2,)}})
     imgs = jax.random.normal(rng, (1, 64, 64, 3))
-    tgts = {
-        "heatmaps": jnp.zeros((1, 8, 8, 5)),
-        "pafs": jnp.zeros((1, 8, 8, 6)),
-        "mask": jnp.ones((1, 8, 8)),
-    }
+    kp = np.zeros((1, 2, 17, 3), np.float32)
+    kp[0, :, :, 0] = np.linspace(8, 56, 17)
+    kp[0, 0, :, 1] = np.linspace(8, 56, 17)
+    kp[0, 1, :, 1] = np.linspace(56, 8, 17)
+    kp[..., 2] = 2.0
+    tgts = {"keypoints": jnp.asarray(kp), "valid": jnp.ones((1, 2))}
     v = model.init({"params": rng, "dropout": rng}, imgs, tgts, mode="train")
     (loss, ld), _ = model.apply(v, imgs, tgts, mode="train",
                                 mutable=["batch_stats"])
     assert np.isfinite(float(loss))
     assert {"heatmap_loss", "paf_loss"} <= set(ld)
+    assert float(ld["paf_loss"]) > 0
     out = model.apply(v, imgs, mode="infer")
-    assert out["heatmaps"].shape == (1, 8, 8, 5)
-    assert out["pafs"].shape == (1, 8, 8, 6)
+    assert out["heatmaps"].shape == (1, 8, 8, 19)
+    assert out["pafs"].shape == (1, 8, 8, 38)
 
 
 def test_pck_evaluator():
