@@ -26,15 +26,20 @@ _BN = dict(bn_momentum=0.9, bn_eps=1e-5)
 
 
 class TransformerEncoderLayer(nn.Module):
-    """Pre-LN encoder (reference transformer.py:52-84)."""
+    """Pre-LN encoder (reference transformer.py:52-84).  ``mlp_act``
+    follows the reference's configurable MLP activation (TAN passes
+    'LeakyReLU', transformer default is GELU)."""
 
     dim: int
     num_heads: int
     mlp_ratio: int = 4
     dropout_ratio: float = 0.0
+    mlp_act: str = "gelu"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        from ..bricks import get_activation
+
         y = nn.LayerNorm(name="norm1")(x)
         y = nn.MultiHeadDotProductAttention(
             num_heads=self.num_heads, qkv_features=self.dim,
@@ -43,14 +48,17 @@ class TransformerEncoderLayer(nn.Module):
         x = x + y
         y = nn.LayerNorm(name="norm2")(x)
         y = nn.Dense(self.dim * self.mlp_ratio, name="fc1")(y)
-        y = nn.gelu(y)
+        y = get_activation(self.mlp_act)(y)
         y = nn.Dense(self.dim, name="fc2")(y)
         return x + y
 
 
 def _resize_bilinear(x, hw):
+    # antialias=False matches torch F.interpolate(mode='bilinear'), which
+    # never low-pass-filters on downsampling
     return jax.image.resize(
-        x, (x.shape[0], hw[0], hw[1], x.shape[3]), "bilinear")
+        x, (x.shape[0], hw[0], hw[1], x.shape[3]), "bilinear",
+        antialias=False)
 
 
 @NECKS.register(name="TAN")
@@ -91,7 +99,8 @@ class TAN(nn.Module):
         for i in range(self.num_encoders):
             tokens = TransformerEncoderLayer(
                 self.out_channels, self.num_heads, self.mlp_ratio,
-                self.dropout_ratio, name=f"encoder{i}")(tokens, train)
+                self.dropout_ratio, mlp_act="leaky_relu",
+                name=f"encoder{i}")(tokens, train)
         mid_out = tokens.reshape(b, h, w, c)
         return (
             laterals[0] + _resize_bilinear(mid_out, laterals[0].shape[1:3]),
