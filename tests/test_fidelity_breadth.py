@@ -313,3 +313,266 @@ def test_gflv2_head_matches_reference():
     _allclose_rel(got_reg, want_reg, atol=5e-4)
     np.testing.assert_allclose(np.asarray(priors)[:256], ref_priors,
                                atol=0)
+
+
+@pytest.mark.parametrize("block_name", ["FastBlock", "FasterBlock"])
+def test_lfd_blocks_match_reference(block_name):
+    """LFD residual blocks vs /root/reference/src/models/backbones/
+    lfd_resnet.py:11-92, the only runnable pieces of the reference's LFD
+    stack.  Upstream unbuildability evidence (documented parity, like
+    YOLOv7Backbone):
+
+    * ``LFDResNet.__init__`` crashes — ``_make_layer`` reads
+      ``self._body_architecture``/``self._body_channels``/``self._block``
+      that nothing ever sets (lfd_resnet.py:201-212; verified
+      AttributeError this session);
+    * stride-1 blocks crash — ``forward`` reads ``self._downsample``
+      which only exists when stride > 1 (:28-32 vs :48);
+    * ``FastestBlock`` always crashes — ``_norm1`` is
+      ``BatchNorm2d(out_channels)`` applied to the half-width conv1
+      output (:102-104);
+    * ``LFDNeck.forward`` reads undefined ``self._num_inputs``
+      (lfd_neck.py:42);
+    * conf/coco_lfd.yml:64 names ``'LFDHead'`` which exists nowhere in
+      src/models/heads/.
+    Our LFD is therefore the runnable intent: these blocks + stem +
+    5-level FCOS machinery."""
+    import src.models.backbones.lfd_resnet as ref_mod
+
+    import cvpytorch_tpu.models.backbones.lfd_resnet as our_mod
+
+    torch.manual_seed(0)
+    ref = getattr(ref_mod, block_name)(32, 48, stride=2)
+    _randomize_bn(ref)
+    ref.eval()
+    x = np.random.RandomState(5).rand(2, 32, 16, 16).astype(np.float32)
+    with torch.no_grad():
+        want = ref(to_torch(x)).numpy()
+
+    sd = ref.state_dict()
+
+    def conv_bn_folded(conv, norm):
+        """plain Conv2d(bias=True) + BatchNorm2d → ConvBNAct with the
+        conv bias folded into the BN running mean (exact in eval)."""
+        p = {"conv": {"kernel": sd[f"{conv}.weight"].numpy()
+                      .transpose(2, 3, 1, 0)}}
+        s = {"bn": {"mean": sd[f"{norm}.running_mean"].numpy()
+                    - sd[f"{conv}.bias"].numpy(),
+                    "var": sd[f"{norm}.running_var"].numpy()}}
+        p["bn"] = {"scale": sd[f"{norm}.weight"].numpy(),
+                   "bias": sd[f"{norm}.bias"].numpy()}
+        return p, s
+
+    params, stats = {}, {}
+    n_convs = 3 if block_name == "FastBlock" else 2
+    for i in range(1, n_convs + 1):
+        p, s = conv_bn_folded(f"_conv{i}", f"_norm{i}")
+        params[f"conv{i}"], stats[f"conv{i}"] = p, s
+    p, s = conv_bn_folded("_downsample.0", "_downsample.1")
+    params["down"], stats["down"] = p, s
+
+    model = getattr(our_mod, block_name)(out_channels=48, stride=2)
+    xs = jnp.asarray(x.transpose(0, 2, 3, 1))
+    variables = model.init(jax.random.PRNGKey(0), xs)
+    errs = verify_tree_shapes(params, dict(variables["params"]))
+    assert not errs, errs
+    got = model.apply({"params": params, "batch_stats": stats}, xs,
+                      train=False)
+    np.testing.assert_allclose(
+        np.asarray(got).transpose(0, 3, 1, 2), want, atol=5e-5)
+
+
+def test_efficientdet_bifpn_matches_reference():
+    """First-time BiFPN cell vs /root/reference/src/models/necks/
+    bifpn.py:19-200 (the registered neck — bilinear upsample variant):
+    down-channel convs, P6/P7 synthesis, fast-attention weights, swish
+    before separable conv, TF-SAME maxpool downsample."""
+    from src.models.necks.bifpn import BiFPN as RefBiFPN
+
+    from cvpytorch_tpu.models.efficientdet import BiFPNCell
+
+    torch.manual_seed(0)
+    ref = RefBiFPN(in_channels=[40, 112, 320], out_channels=64,
+                   first_time=True)
+    _randomize_bn(ref)
+    ref.eval()
+    rng = np.random.RandomState(6)
+    feats_t = [torch.from_numpy(rng.rand(1, c, s, s).astype(np.float32))
+               for c, s in zip((40, 112, 320), (32, 16, 8))]
+    with torch.no_grad():
+        ref_outs = [o.numpy() for o in ref(feats_t)]
+
+    sd = ref.state_dict()
+
+    def convbn(prefix):   # Sequential(Conv2dStaticSamePadding, BN)
+        return ({"conv": {"kernel": sd[f"{prefix}.0.conv.weight"].numpy()
+                          .transpose(2, 3, 1, 0),
+                          "bias": sd[f"{prefix}.0.conv.bias"].numpy()},
+                 "bn": {"scale": sd[f"{prefix}.1.weight"].numpy(),
+                        "bias": sd[f"{prefix}.1.bias"].numpy()}},
+                {"bn": {"mean": sd[f"{prefix}.1.running_mean"].numpy(),
+                        "var": sd[f"{prefix}.1.running_var"].numpy()}})
+
+    def sep(prefix):
+        return ({"depthwise_conv": {
+                    "kernel": sd[f"{prefix}.depthwise_conv.conv.weight"]
+                    .numpy().transpose(2, 3, 1, 0)},
+                 "pointwise_conv": {
+                    "kernel": sd[f"{prefix}.pointwise_conv.conv.weight"]
+                    .numpy().transpose(2, 3, 1, 0),
+                    "bias": sd[f"{prefix}.pointwise_conv.conv.bias"]
+                    .numpy()},
+                 "bn": {"scale": sd[f"{prefix}.bn.weight"].numpy(),
+                        "bias": sd[f"{prefix}.bn.bias"].numpy()}},
+                {"bn": {"mean": sd[f"{prefix}.bn.running_mean"].numpy(),
+                        "var": sd[f"{prefix}.bn.running_var"].numpy()}})
+
+    params, stats = {}, {}
+    for name in ("p5_to_p6", "p3_down_channel", "p4_down_channel",
+                 "p5_down_channel", "p4_down_channel_2",
+                 "p5_down_channel_2"):
+        p, s = convbn(name)
+        params[name], stats[name] = p, s
+    for name in ("conv6_up", "conv5_up", "conv4_up", "conv3_up",
+                 "conv4_down", "conv5_down", "conv6_down", "conv7_down"):
+        p, s = sep(name)
+        params[name], stats[name] = p, s
+    for w in ("p6_w1", "p5_w1", "p4_w1", "p3_w1", "p4_w2", "p5_w2",
+              "p6_w2", "p7_w2"):
+        params[w] = sd[w].numpy()
+
+    model = BiFPNCell(64, first_time=True)
+    feats = [jnp.asarray(f.numpy().transpose(0, 2, 3, 1)) for f in feats_t]
+    variables = model.init(jax.random.PRNGKey(0), feats)
+    errs = verify_tree_shapes(params, dict(variables["params"]))
+    assert not errs, errs
+    outs = model.apply({"params": params, "batch_stats": stats}, feats,
+                       train=False)
+    for got, want in zip(outs, ref_outs):
+        _allclose_rel(np.asarray(got).transpose(0, 3, 1, 2), want)
+
+
+def test_efficientdet_head_matches_reference():
+    """Regressor + Classifier vs efficientdet_extra.py:352-426: shared
+    separable convs, PER-LEVEL BN lists, separable headers; classifier
+    output sigmoid'd and anchor-major flattened."""
+    from src.models.heads.efficientdet_head import EfficientdetHead
+
+    from cvpytorch_tpu.models.efficientdet import Regressor
+
+    torch.manual_seed(0)
+    ref = EfficientdetHead(num_classes=6, fpn_num_filter=32, num_anchors=9,
+                           box_class_repeat=2, pyramid_level=5,
+                           anchor_scale=4)
+    _randomize_bn(ref)
+    ref.eval()
+    rng = np.random.RandomState(7)
+    feats_t = [torch.from_numpy(rng.rand(1, 32, s, s).astype(np.float32))
+               for s in (16, 8, 4, 2, 1)]
+    with torch.no_grad():
+        want_reg = ref.regressor(feats_t).numpy()
+        want_cls = ref.classifier(feats_t).numpy()
+
+    sd = ref.state_dict()
+
+    def head_params(tname, out_dim):
+        params, stats = {}, {}
+        for i in range(2):
+            params[f"conv{i}"] = {
+                "depthwise_conv": {
+                    "kernel": sd[f"{tname}.conv_list.{i}.depthwise_conv"
+                                 ".conv.weight"].numpy()
+                    .transpose(2, 3, 1, 0)},
+                "pointwise_conv": {
+                    "kernel": sd[f"{tname}.conv_list.{i}.pointwise_conv"
+                                 ".conv.weight"].numpy()
+                    .transpose(2, 3, 1, 0),
+                    "bias": sd[f"{tname}.conv_list.{i}.pointwise_conv"
+                               ".conv.bias"].numpy()}}
+        params["header"] = {
+            "depthwise_conv": {
+                "kernel": sd[f"{tname}.header.depthwise_conv.conv.weight"]
+                .numpy().transpose(2, 3, 1, 0)},
+            "pointwise_conv": {
+                "kernel": sd[f"{tname}.header.pointwise_conv.conv.weight"]
+                .numpy().transpose(2, 3, 1, 0),
+                "bias": sd[f"{tname}.header.pointwise_conv.conv.bias"]
+                .numpy()}}
+        for lvl in range(5):
+            for i in range(2):
+                params[f"bn{lvl}_{i}"] = {
+                    "scale": sd[f"{tname}.bn_list.{lvl}.{i}.weight"].numpy(),
+                    "bias": sd[f"{tname}.bn_list.{lvl}.{i}.bias"].numpy()}
+                stats[f"bn{lvl}_{i}"] = {
+                    "mean": sd[f"{tname}.bn_list.{lvl}.{i}.running_mean"]
+                    .numpy(),
+                    "var": sd[f"{tname}.bn_list.{lvl}.{i}.running_var"]
+                    .numpy()}
+        return params, stats
+
+    feats = [jnp.asarray(f.numpy().transpose(0, 2, 3, 1)) for f in feats_t]
+
+    p, s = head_params("regressor", 4)
+    reg_m = Regressor(32, 9, 2, out_dim=4)
+    variables = reg_m.init(jax.random.PRNGKey(0), feats)
+    errs = verify_tree_shapes(p, dict(variables["params"]))
+    assert not errs, errs
+    got_reg = reg_m.apply({"params": p, "batch_stats": s}, feats,
+                          train=False)
+    np.testing.assert_allclose(np.asarray(got_reg), want_reg, atol=5e-5)
+
+    p, s = head_params("classifier", 6)
+    cls_m = Regressor(32, 9, 2, out_dim=6)
+    got_cls = jax.nn.sigmoid(cls_m.apply(
+        {"params": p, "batch_stats": s}, feats, train=False))
+    np.testing.assert_allclose(np.asarray(got_cls), want_cls, atol=5e-5)
+
+
+def test_efficientdet_anchors_and_loss_match_reference():
+    """Anchor grid (extra :944-1029) and EfficientDetLoss
+    (efficientdet_loss.py:27-140) including the IoU-band assignment,
+    focal/smooth-L1 math, per-image normalization and the ×50 reg
+    weight — our padded/masked vmap vs the reference's per-image
+    boolean-filter loop, incl. an image with zero annotations."""
+    from src.losses.efficientdet_loss import EfficientDetLoss
+    from src.models.efficientdet_extra import Anchors
+
+    from cvpytorch_tpu.models.efficientdet import (efficientdet_anchors,
+                                                   efficientdet_loss)
+
+    img = torch.zeros(1, 3, 128, 128)
+    ref_anchors = Anchors(anchor_scale=4.0)(img)            # (1, P, 4)
+    got_anchors = efficientdet_anchors((128, 128))
+    np.testing.assert_allclose(np.asarray(got_anchors),
+                               ref_anchors[0].numpy(), atol=1e-4)
+
+    P = ref_anchors.shape[1]
+    rng = np.random.RandomState(8)
+    B, M, C = 3, 5, 6
+    cls = rng.rand(B, P, C).astype(np.float32)
+    reg = (rng.rand(B, P, 4).astype(np.float32) - 0.5)
+    boxes = np.zeros((B, M, 4), np.float32)
+    labels = rng.randint(0, C, (B, M))
+    valid = np.zeros((B, M), bool)
+    for b in range(B - 1):      # last image: zero annotations
+        n = rng.randint(1, M + 1)
+        xy = rng.rand(n, 2) * 90
+        wh = rng.rand(n, 2) * 30 + 8
+        boxes[b, :n] = np.concatenate([xy, xy + wh], -1)
+        valid[b, :n] = True
+
+    annotations = np.full((B, M, 5), -1.0, np.float32)
+    annotations[..., :4] = boxes
+    annotations[..., 4] = np.where(valid, labels.astype(np.float32), -1.0)
+    ref_loss = EfficientDetLoss()
+    with torch.no_grad():
+        want_cls, want_reg = ref_loss(
+            (to_torch(cls), to_torch(reg), ref_anchors),
+            to_torch(annotations))
+
+    got_cls, got_reg = efficientdet_loss(
+        jnp.asarray(cls), jnp.asarray(reg), got_anchors,
+        {"boxes": jnp.asarray(boxes), "labels": jnp.asarray(labels),
+         "valid": jnp.asarray(valid)})
+    np.testing.assert_allclose(float(got_cls), float(want_cls), rtol=1e-4)
+    np.testing.assert_allclose(float(got_reg), float(want_reg), rtol=1e-4)
