@@ -74,7 +74,10 @@ def _mask_iou(dt_masks, gt_masks, crowd):
         return out
     d_flat = dt_masks.reshape(D, -1).astype(bool)
     g_flat = gt_masks.reshape(G, -1).astype(bool)
-    inter = (d_flat[:, None, :] & g_flat[None, :, :]).sum(-1).astype(float)
+    # BLAS matmul: O(D·G) output with no (D, G, H·W) boolean temporary —
+    # 100 dets × 100 gts at 1080p would otherwise materialize ~10⁸ bools
+    inter = (d_flat.astype(np.float32) @ g_flat.astype(np.float32).T
+             ).astype(float)
     area_d = d_flat.sum(-1).astype(float)
     area_g = g_flat.sum(-1).astype(float)
     union = area_d[:, None] + area_g[None, :] - inter

