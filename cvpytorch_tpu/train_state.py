@@ -154,7 +154,9 @@ def make_train_step(
             )
             new_ema_bs = jax.tree_util.tree_map(blend, state.ema_batch_stats, new_bs)
 
-        metrics = {"loss": total, **{k: v.astype(jnp.float32) for k, v in loss_dict.items()}}
+        metrics = {"loss": total,
+                   **{k: jnp.asarray(v, jnp.float32)
+                      for k, v in loss_dict.items()}}
         new_state = state.replace(
             step=state.step + 1,
             params=new_params,
