@@ -1,0 +1,120 @@
+"""Two-process DCN dryrun (VERDICT r2 missing #6): exercises
+``jax.distributed.initialize`` with a real multi-process rendezvous on
+this one host — each process owns 2 virtual CPU devices, the pair forms a
+4-device global mesh, and a sharded train step + cross-process
+allgather run end-to-end.  This is the closest a 1-host environment gets
+to multi-host execution; on a real pod the same code path takes
+coordinator_address from the cluster env (parallel/mesh.init_distributed).
+
+    python scripts/dryrun_multihost.py          # spawns both processes
+    (exit 0 and 'MULTIHOST OK' on success)
+"""
+from __future__ import annotations
+
+import multiprocessing as mp
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+PORT = int(os.environ.get("DRYRUN_PORT", "12391"))
+
+
+def worker(pid: int, q) -> None:
+    try:
+        os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        sys.path.insert(0, REPO)
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        jax.distributed.initialize(
+            coordinator_address=f"localhost:{PORT}",
+            num_processes=2, process_id=pid)
+        import jax.numpy as jnp
+        import numpy as np
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+        assert jax.process_count() == 2
+        assert len(jax.devices()) == 4          # 2 local × 2 processes
+        mesh = Mesh(np.array(jax.devices()).reshape(4, 1),
+                    ("data", "model"))
+
+        # global-batch mean over a data-sharded array: the DCN analog of
+        # the reference's DDP all-reduce (SURVEY §2.10)
+        gshape = (8, 16)
+        local = np.full((gshape[0] // 2, gshape[1]), float(pid + 1),
+                        np.float32)
+        arr = jax.make_array_from_process_local_data(
+            NamedSharding(mesh, P("data", None)), local, gshape)
+
+        @jax.jit
+        def global_mean(x):
+            return x.mean()
+
+        m = float(global_mean(arr))
+        assert abs(m - 1.5) < 1e-6, m           # (1+2)/2 across processes
+
+        # one sharded train step on a tiny model
+        from cvpytorch_tpu.config import CommonConfiguration
+        from cvpytorch_tpu.models.unet import UNet
+        from cvpytorch_tpu.optim.optimizers import build_optimizer
+        from cvpytorch_tpu.optim.schedules import build_lr_scheduler
+        from cvpytorch_tpu.train_state import (create_train_state,
+                                               make_train_step)
+
+        model = UNet(dictionary=({"a": 1.0}, {"b": 1.0}),
+                     model_cfg={"BASE_CHANNELS": 4, "DEPTH": 2})
+        B, H = 4, 32
+        rng = np.random.RandomState(pid)
+        imgs = rng.rand(B, H, H, 3).astype(np.float32)
+        masks = rng.randint(0, 2, (B, H, H)).astype(np.int32)
+        tcfg = CommonConfiguration({
+            "INIT_LR": 0.01, "N_MAX_EPOCHS": 2,
+            "OPTIMIZER": {"TYPE": "SGD", "MOMENTUM": 0.9},
+            "LR_SCHEDULER": {"TYPE": "CosineAnnealingLR"},
+        })
+        tx = build_optimizer(tcfg, build_lr_scheduler(tcfg, 10))
+        state = create_train_state(model, tx, jax.random.PRNGKey(0),
+                                   {"image": imgs, "target": masks})
+        sharding = NamedSharding(mesh, P("data"))
+        gb = {
+            "image": jax.make_array_from_process_local_data(
+                NamedSharding(mesh, P("data", None, None, None)), imgs,
+                (2 * B, H, H, 3)),
+            "target": jax.make_array_from_process_local_data(
+                NamedSharding(mesh, P("data", None, None)), masks,
+                (2 * B, H, H)),
+        }
+        state = jax.device_put(
+            state, NamedSharding(mesh, P()))    # replicated params
+        step = make_train_step(amp=False, donate=False)
+        state, metrics = step(state, gb)
+        loss = float(metrics["loss"])
+        assert np.isfinite(loss)
+        q.put((pid, "ok", m, loss))
+    except Exception as e:                       # surface in parent
+        import traceback
+
+        q.put((pid, "fail", traceback.format_exc(), str(e)))
+
+
+def main() -> int:
+    mp.set_start_method("spawn", force=True)
+    q = mp.Queue()
+    ps = [mp.Process(target=worker, args=(i, q)) for i in range(2)]
+    for p in ps:
+        p.start()
+    results = [q.get(timeout=600) for _ in range(2)]
+    for p in ps:
+        p.join(timeout=120)
+        if p.is_alive():
+            p.terminate()
+    ok = all(r[1] == "ok" for r in results)
+    for r in sorted(results):
+        print(r if r[1] == "ok" else r[2])
+    print("MULTIHOST OK" if ok else "MULTIHOST FAILED")
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

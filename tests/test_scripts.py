@@ -5,7 +5,8 @@ import sys
 
 import numpy as np
 
-sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
+ROOT = os.path.join(os.path.dirname(__file__), "..")
+sys.path.insert(0, os.path.join(ROOT, "scripts"))
 
 import dataset_proc  # noqa: E402
 import anchor_cluster  # noqa: E402
@@ -116,3 +117,17 @@ def test_conf_audit_script(tmp_path):
     rows, missing = ca.audit("/root/reference/conf")
     assert not missing, missing
     assert len(rows) >= 100
+
+
+def test_multihost_dryrun():
+    """2-process jax.distributed rendezvous + cross-process mean + sharded
+    train step (VERDICT r2 missing #6, as far as one host allows)."""
+    import subprocess
+    import sys
+
+    r = subprocess.run(
+        [sys.executable, os.path.join(ROOT, "scripts",
+                                      "dryrun_multihost.py")],
+        capture_output=True, text=True, timeout=600,
+        env={**os.environ, "DRYRUN_PORT": "12917"})
+    assert "MULTIHOST OK" in r.stdout, r.stdout + r.stderr
