@@ -16,6 +16,12 @@ from flax import linen as nn
 from ...registry import BACKBONES
 from ..bricks import DropPath
 
+def _gelu(x):
+    """Exact (erf) GELU — torch nn.GELU default; jax nn.gelu defaults to
+    the tanh approximation, which diverges ~1e-3 per activation."""
+    return jax.nn.gelu(x, approximate=False)
+
+
 _MIT_SPECS = {  # dims, depths, heads, sr_ratios
     "mit_b0": ((32, 64, 160, 256), (2, 2, 2, 2)),
     "mit_b1": ((64, 128, 320, 512), (2, 2, 2, 2)),
@@ -72,7 +78,7 @@ class MixFFN(nn.Module):
         sp = y.reshape(B, h, w, hdim)
         sp = nn.Conv(hdim, (3, 3), padding=1, feature_group_count=hdim,
                      name="dwconv")(sp)
-        y = nn.gelu(sp.reshape(B, N, hdim))
+        y = _gelu(sp.reshape(B, N, hdim))
         return nn.Dense(self.dim, name="fc2")(y)
 
 
@@ -125,6 +131,7 @@ _MSCAN_SPECS = {
     "mscan_b": ((64, 128, 320, 512), (3, 3, 12, 3)),
     "mscan_l": ((64, 128, 320, 512), (3, 5, 27, 3)),
 }
+_MSCAN_MLP = (8, 8, 4, 4)    # per-stage MLP ratios (reference mscan.py:186)
 
 
 class MSCAttention(nn.Module):
@@ -137,37 +144,45 @@ class MSCAttention(nn.Module):
         u = x
         a = nn.Conv(self.dim, (5, 5), padding=2, feature_group_count=self.dim,
                     name="conv5")(x)
+        # the three strip branches all read conv5's output IN PARALLEL
+        # (reference mscan.py:76-92: attn_0/1/2 each from `attn`, then
+        # summed) — not chained
+        out = a
         for i, k in enumerate((7, 11, 21)):
             b = nn.Conv(self.dim, (1, k), padding=((0, 0), (k // 2, k // 2)),
                         feature_group_count=self.dim, name=f"h{i}")(a)
             b = nn.Conv(self.dim, (k, 1), padding=((k // 2, k // 2), (0, 0)),
                         feature_group_count=self.dim, name=f"v{i}")(b)
-            a = a + b
-        a = nn.Conv(self.dim, (1, 1), name="mix")(a)
-        return u * a
+            out = out + b
+        out = nn.Conv(self.dim, (1, 1), name="mix")(out)
+        return u * out
 
 
 class MSCANBlock(nn.Module):
     dim: int
     drop_rate: float = 0.0
+    mlp_ratio: int = 4      # reference mscan.py:187: [8, 8, 4, 4] per stage
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        h = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         name="bn1")(x)
-        h = nn.Conv(self.dim, (1, 1), name="proj1")(h)
-        h = nn.gelu(h)
+        n1 = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                          name="bn1")(x)
+        h = nn.Conv(self.dim, (1, 1), name="proj1")(n1)
+        h = _gelu(h)
         h = MSCAttention(self.dim, name="attn")(h)
         h = nn.Conv(self.dim, (1, 1), name="proj2")(h)
+        # SpatialAttention carries its OWN inner residual around the
+        # gating unit (reference mscan.py:104-114: x = ... + shorcut)
+        h = h + n1
         ls1 = self.param("ls1", nn.initializers.constant(1e-2), (self.dim,))
         x = x + DropPath(self.drop_rate, name="dp1")(h * ls1, train)
         h = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          name="bn2")(x)
-        hdim = self.dim * 4
+        hdim = self.dim * self.mlp_ratio
         h = nn.Conv(hdim, (1, 1), name="ffn1")(h)
         h = nn.Conv(hdim, (3, 3), padding=1, feature_group_count=hdim,
                     name="ffn_dw")(h)
-        h = nn.gelu(h)
+        h = _gelu(h)
         h = nn.Conv(self.dim, (1, 1), name="ffn2")(h)
         ls2 = self.param("ls2", nn.initializers.constant(1e-2), (self.dim,))
         return x + DropPath(self.drop_rate, name="dp2")(h * ls2, train)
@@ -194,7 +209,7 @@ class MSCAN(nn.Module):
                             name="stem1")(x)
                 x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                                  name="stem_bn1")(x)
-                x = nn.gelu(x)
+                x = _gelu(x)
                 x = nn.Conv(dims[0], (3, 3), strides=2, padding=1,
                             name="stem2")(x)
                 x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
@@ -208,8 +223,11 @@ class MSCAN(nn.Module):
                 x = MSCANBlock(
                     dims[si],
                     drop_rate=self.drop_path_rate * bi / max(total - 1, 1),
+                    mlp_ratio=_MSCAN_MLP[si],
                     name=f"stage{si+1}_block{j}")(x, train)
                 bi += 1
+            # per-stage token LayerNorm (reference mscan.py:224,244)
+            x = nn.LayerNorm(epsilon=1e-5, name=f"out_ln{si}")(x)
             if (si + 1) in self.out_stages and not self.classifier:
                 feats.append(x)
         if self.classifier:
@@ -289,11 +307,11 @@ class _IncepMlp(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        x = nn.gelu(nn.Conv(self.hidden, (1, 1), name="fc1")(x))
-        x = nn.gelu(nn.Conv(self.hidden, (3, 3), padding=1,
+        x = _gelu(nn.Conv(self.hidden, (1, 1), name="fc1")(x))
+        x = _gelu(nn.Conv(self.hidden, (3, 3), padding=1,
                             feature_group_count=self.hidden,
                             name="dwconv")(x))
-        return nn.gelu(nn.Conv(self.dim, (1, 1), name="fc2")(x))
+        return _gelu(nn.Conv(self.dim, (1, 1), name="fc2")(x))
 
 
 class _IncepBlock(nn.Module):

@@ -576,3 +576,152 @@ def test_efficientdet_anchors_and_loss_match_reference():
          "valid": jnp.asarray(valid)})
     np.testing.assert_allclose(float(got_cls), float(want_cls), rtol=1e-4)
     np.testing.assert_allclose(float(got_reg), float(want_reg), rtol=1e-4)
+
+
+def test_mix_vision_transformer_matches_reference():
+    """SegFormer MiT-b0 backbone vs /root/reference/src/models/backbones/
+    seg/mix_transformer.py:214-322 (overlap patch embeds, spatial-
+    reduction attention, Mix-FFN depthwise conv, per-stage norms)."""
+    from src.models.backbones.seg.mix_transformer import (
+        MixVisionTransformer as RefMiT)
+
+    from cvpytorch_tpu.models.backbones.seg_transformers import (
+        MixVisionTransformer)
+
+    torch.manual_seed(0)
+    ref = RefMiT(subtype="mit_b0", out_channels=[32, 64, 160, 256],
+                 depths=[2, 2, 2, 2], qkv_bias=True, drop_path_rate=0.1,
+                 out_stages=[1, 2, 3, 4])
+    ref.eval()
+    x = np.random.RandomState(9).rand(1, 3, 64, 64).astype(np.float32)
+    with torch.no_grad():
+        want = [o.numpy() for o in ref(to_torch(x))]
+
+    sd = ref.state_dict()
+    params = {}
+    for si in range(4):
+        r = si + 1
+        C = [32, 64, 160, 256][si]
+        params[f"patch{si}"] = {
+            "kernel": sd[f"patch_embed{r}.proj.weight"].numpy()
+            .transpose(2, 3, 1, 0),
+            "bias": sd[f"patch_embed{r}.proj.bias"].numpy()}
+        params[f"patch_norm{si}"] = _ln(sd, f"patch_embed{r}.norm")
+        params[f"out_norm{si}"] = _ln(sd, f"norm{r}")
+        for j in range(2):
+            b = f"block{r}.{j}"
+            params[f"ln1_{si}_{j}"] = _ln(sd, f"{b}.norm1")
+            params[f"ln2_{si}_{j}"] = _ln(sd, f"{b}.norm2")
+            kvw = sd[f"{b}.attn.kv.weight"].numpy()      # (2C, C)
+            kvb = sd[f"{b}.attn.kv.bias"].numpy()
+            attn = {
+                "q": _dense(sd, f"{b}.attn.q"),
+                "k": {"kernel": kvw[:C].T, "bias": kvb[:C]},
+                "v": {"kernel": kvw[C:].T, "bias": kvb[C:]},
+                "proj": _dense(sd, f"{b}.attn.proj"),
+            }
+            if f"{b}.attn.sr.weight" in sd:
+                attn["sr"] = {
+                    "kernel": sd[f"{b}.attn.sr.weight"].numpy()
+                    .transpose(2, 3, 1, 0),
+                    "bias": sd[f"{b}.attn.sr.bias"].numpy()}
+                attn["sr_norm"] = _ln(sd, f"{b}.attn.norm")
+            params[f"attn{si}_{j}"] = attn
+            params[f"ffn{si}_{j}"] = {
+                "fc1": _dense(sd, f"{b}.mlp.fc1"),
+                "fc2": _dense(sd, f"{b}.mlp.fc2"),
+                "dwconv": {
+                    "kernel": sd[f"{b}.mlp.dwconv.dwconv.weight"].numpy()
+                    .transpose(2, 3, 1, 0),
+                    "bias": sd[f"{b}.mlp.dwconv.dwconv.bias"].numpy()},
+            }
+
+    model = MixVisionTransformer(subtype="mit_b0",
+                                 out_stages=(1, 2, 3, 4))
+    xs = jnp.asarray(x.transpose(0, 2, 3, 1))
+    variables = model.init(jax.random.PRNGKey(0), xs)
+    errs = verify_tree_shapes(params, dict(variables["params"]))
+    assert not errs, errs
+    feats = model.apply({"params": params}, xs, train=False)
+    assert len(feats) == 4
+    for got, w in zip(feats, want):
+        _allclose_rel(np.asarray(got).transpose(0, 3, 1, 2), w, atol=1e-4)
+
+
+def test_mscan_matches_reference():
+    """SegNeXt MSCAN-t backbone vs /root/reference/src/models/backbones/
+    seg/mscan.py:16-250.  This test drove three real fixes in our MSCAN:
+    parallel (not chained) strip-conv branches, per-stage MLP ratios
+    [8,8,4,4], and the per-stage token LayerNorms."""
+    from src.models.backbones.seg.mscan import MSCAN as RefMSCAN
+
+    from cvpytorch_tpu.models.backbones.seg_transformers import MSCAN
+
+    torch.manual_seed(0)
+    ref = RefMSCAN(subtype="mscan_t", out_stages=[2, 3, 4])
+    _randomize_bn(ref)
+    ref.eval()
+    x = np.random.RandomState(10).rand(1, 3, 64, 64).astype(np.float32)
+    with torch.no_grad():
+        want = [o.numpy() for o in ref(to_torch(x))]
+
+    sd = ref.state_dict()
+
+    def conv(prefix):
+        p = {"kernel": sd[f"{prefix}.weight"].numpy().transpose(2, 3, 1, 0)}
+        if f"{prefix}.bias" in sd:
+            p["bias"] = sd[f"{prefix}.bias"].numpy()
+        return p
+
+    def bn(prefix):
+        return ({"scale": sd[f"{prefix}.weight"].numpy(),
+                 "bias": sd[f"{prefix}.bias"].numpy()},
+                {"mean": sd[f"{prefix}.running_mean"].numpy(),
+                 "var": sd[f"{prefix}.running_var"].numpy()})
+
+    params, stats = {}, {}
+    params["stem1"] = conv("patch_embed1.proj.0")
+    params["stem_bn1"], stats["stem_bn1"] = bn("patch_embed1.proj.1")
+    params["stem2"] = conv("patch_embed1.proj.3")
+    params["stem_bn2"], stats["stem_bn2"] = bn("patch_embed1.proj.4")
+    depths = (3, 3, 5, 2)
+    for si in range(4):
+        r = si + 1
+        if si > 0:
+            params[f"down{si}"] = conv(f"patch_embed{r}.proj")
+            params[f"down_bn{si}"], stats[f"down_bn{si}"] = \
+                bn(f"patch_embed{r}.norm")
+        params[f"out_ln{si}"] = _ln(sd, f"norm{r}")
+        for j in range(depths[si]):
+            b = f"block{r}.{j}"
+            blk, bst = {}, {}
+            blk["bn1"], bst["bn1"] = bn(f"{b}.norm1")
+            blk["bn2"], bst["bn2"] = bn(f"{b}.norm2")
+            blk["proj1"] = conv(f"{b}.attn.proj_1")
+            blk["proj2"] = conv(f"{b}.attn.proj_2")
+            g = f"{b}.attn.spatial_gating_unit"
+            blk["attn"] = {
+                "conv5": conv(f"{g}.conv0"),
+                "h0": conv(f"{g}.conv0_1"), "v0": conv(f"{g}.conv0_2"),
+                "h1": conv(f"{g}.conv1_1"), "v1": conv(f"{g}.conv1_2"),
+                "h2": conv(f"{g}.conv2_1"), "v2": conv(f"{g}.conv2_2"),
+                "mix": conv(f"{g}.conv3"),
+            }
+            blk["ffn1"] = conv(f"{b}.mlp.fc1")
+            blk["ffn_dw"] = conv(f"{b}.mlp.dwconv.dwconv")
+            blk["ffn2"] = conv(f"{b}.mlp.fc2")
+            blk["ls1"] = sd[f"{b}.layer_scale_1"].numpy()
+            blk["ls2"] = sd[f"{b}.layer_scale_2"].numpy()
+            params[f"stage{r}_block{j}"] = blk
+            stats[f"stage{r}_block{j}"] = bst
+
+    model = MSCAN(subtype="mscan_t", out_stages=(2, 3, 4))
+    xs = jnp.asarray(x.transpose(0, 2, 3, 1))
+    variables = model.init(jax.random.PRNGKey(0), xs)
+    errs = verify_tree_shapes(params, dict(variables["params"]))
+    assert not errs, errs
+    feats = model.apply({"params": params, "batch_stats": stats}, xs,
+                        train=False)
+    assert len(feats) == 3
+    for got, w in zip(feats, want):
+        _allclose_rel(np.asarray(got).transpose(0, 3, 1, 2), w, atol=1e-4)
