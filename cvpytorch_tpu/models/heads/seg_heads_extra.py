@@ -40,34 +40,75 @@ class SegFormerHead(nn.Module):
         return nn.Conv(self.num_classes, (1, 1), name="cls")(x)
 
 
-def nmf_attention(x, rank: int = 64, iters: int = 6, key=None):
-    """2D NMF multiplicative updates (the reference Hamburger's core,
-    ham_head.py).  x (B, N, C) nonnegative → low-rank reconstruction."""
-    B, N, C = x.shape
-    # deterministic init (uniform) — the reference samples once per forward
-    d = jnp.ones((B, C, rank)) / rank
-    s = jnp.ones((B, rank, N)) / rank
-    xt = jnp.swapaxes(x, 1, 2)  # (B, C, N)
+def nmf2d(x_cn, bases, steps: int = 7):
+    """NMF2D multiplicative updates (reference lightham_head.py:103-145).
+
+    x_cn (B, D, N) nonnegative, bases (B, D, R) (the reference samples
+    uniform[0,1) L2-normalized over D fresh each forward) → low-rank
+    reconstruction (B, D, N).  coef init = softmax(xᵀ·bases) (inv_t=1),
+    then ``steps`` multiplicative updates + one final coef update."""
+    xt = jnp.swapaxes(x_cn, 1, 2)                        # (B, N, D)
+    coef = jax.nn.softmax(xt @ bases, -1)                # (B, N, R)
+
+    def upd_coef(coef, bases):
+        num = xt @ bases
+        den = coef @ (jnp.swapaxes(bases, 1, 2) @ bases)
+        return coef * num / (den + 1e-6)
 
     def body(_, carry):
-        d, s = carry
-        # update s: s ∝ (dᵀx) / (dᵀd s)
-        num = jnp.einsum("bcr,bcn->brn", d, xt)
-        den = jnp.einsum("bcr,bcq->brq", d, d) @ s + 1e-6
-        s = s * num / den
-        num = jnp.einsum("bcn,brn->bcr", xt, s)
-        den = d @ (s @ jnp.swapaxes(s, 1, 2)) + 1e-6
-        d = d * num / den
-        return d, s
+        bases, coef = carry
+        coef = upd_coef(coef, bases)
+        num = x_cn @ coef
+        den = bases @ (jnp.swapaxes(coef, 1, 2) @ coef)
+        bases = bases * num / (den + 1e-6)
+        return bases, coef
 
-    d, s = jax.lax.fori_loop(0, iters, body, (d, s))
-    recon = jnp.einsum("bcr,brn->bcn", d, s)
-    return jnp.swapaxes(recon, 1, 2)
+    bases, coef = jax.lax.fori_loop(0, steps, body, (bases, coef))
+    coef = upd_coef(coef, bases)
+    return bases @ jnp.swapaxes(coef, 1, 2)              # (B, D, N)
+
+
+def _default_bases(B, D, R):
+    """Deterministic stand-in for the reference's fresh-per-forward
+    torch.rand bases (lightham_head.py:110-116): uniform values from a
+    fixed key, L2-normalized over D.  NMF converges from any positive
+    init; a fixed draw keeps eval deterministic under jit."""
+    b = jax.random.uniform(jax.random.PRNGKey(0), (B, D, R))
+    return b / jnp.maximum(jnp.linalg.norm(b, axis=1, keepdims=True), 1e-12)
+
+
+class Hamburger(nn.Module):
+    """ham_in (1×1, no norm/act) → relu → NMF → ham_out (1×1 + GN) →
+    relu(x + ·) (reference lightham_head.py:148-166)."""
+
+    ham_channels: int
+    nmf_rank: int = 64
+    eval_steps: int = 7
+    train_steps: int = 6
+
+    @nn.compact
+    def __call__(self, x, train: bool = False, bases=None):
+        B, H, W, C = x.shape
+        enjoy = nn.Conv(self.ham_channels, (1, 1), name="ham_in")(x)
+        enjoy = nn.relu(enjoy)
+        cn = enjoy.reshape(B, H * W, C).swapaxes(1, 2)   # (B, D=C, N)
+        if bases is None:
+            bases = _default_bases(B, C, self.nmf_rank)
+        steps = self.train_steps if train else self.eval_steps
+        cn = nmf2d(cn, bases, steps)
+        enjoy = cn.swapaxes(1, 2).reshape(B, H, W, C)
+        enjoy = nn.Conv(self.ham_channels, (1, 1), use_bias=False,
+                        name="ham_out")(enjoy)
+        enjoy = nn.GroupNorm(num_groups=32, name="ham_out_gn")(enjoy)
+        return nn.relu(x + enjoy)
 
 
 @HEADS.register(name="LightHamHead")
 class LightHamHead(nn.Module):
-    """SegNeXt decoder (reference: heads/seg/ham_head.py)."""
+    """SegNeXt decoder (reference: heads/seg/lightham_head.py:169-216):
+    bilinear-upsample all levels to the FIRST level, concat, squeeze
+    (1×1 + GN32 + ReLU), Hamburger NMF attention, align (1×1 + GN32 +
+    ReLU), dropout + classifier."""
 
     num_classes: int = 19
     channels: int = 256
@@ -76,18 +117,17 @@ class LightHamHead(nn.Module):
     dropout: float = 0.1
 
     @nn.compact
-    def __call__(self, feats, train: bool = False):
+    def __call__(self, feats, train: bool = False, bases=None):
         size = feats[0].shape[1:3]
         ups = [resize_bilinear(f, size) for f in feats]
         x = jnp.concatenate(ups, -1)
-        x = ConvBNAct(self.ham_channels, 1, act="relu", **_BN,
-                      name="squeeze")(x, train)
-        B, H, W, C = x.shape
-        t = nn.relu(x).reshape(B, H * W, C)
-        ham = nmf_attention(t, rank=self.nmf_rank).reshape(B, H, W, C)
-        x = nn.relu(x + ham)
-        x = ConvBNAct(self.channels, 1, act="relu", **_BN,
-                      name="align")(x, train)
+        x = nn.Conv(self.ham_channels, (1, 1), use_bias=False,
+                    name="squeeze")(x)
+        x = nn.relu(nn.GroupNorm(num_groups=32, name="squeeze_gn")(x))
+        x = Hamburger(self.ham_channels, self.nmf_rank,
+                      name="hamburger")(x, train, bases=bases)
+        x = nn.Conv(self.channels, (1, 1), use_bias=False, name="align")(x)
+        x = nn.relu(nn.GroupNorm(num_groups=32, name="align_gn")(x))
         x = nn.Dropout(self.dropout, deterministic=not train)(x)
         return nn.Conv(self.num_classes, (1, 1), name="cls")(x)
 

@@ -725,3 +725,67 @@ def test_mscan_matches_reference():
     assert len(feats) == 3
     for got, w in zip(feats, want):
         _allclose_rel(np.asarray(got).transpose(0, 3, 1, 2), w, atol=1e-4)
+
+
+def test_lightham_head_matches_reference():
+    """SegNeXt LightHamHead vs /root/reference/src/models/heads/seg/
+    lightham_head.py:21-216: squeeze/align GN32 ConvModules, Hamburger
+    (ham_in → relu → NMF2D multiplicative updates → ham_out+GN →
+    residual relu).  The reference draws FRESH random NMF bases every
+    forward (:110-116, .cuda()-only, another upstream CPU-breaker) — both
+    sides are given the same fixed normalized bases so the 8
+    multiplicative updates are comparable."""
+    from src.models.heads.seg.lightham_head import LightHamHead as RefHead
+
+    from cvpytorch_tpu.models.heads.seg_heads_extra import LightHamHead
+
+    torch.manual_seed(0)
+    R = 16
+    ref = RefHead(num_classes=7, in_channels=[64, 160, 256], channels=32,
+                  ham_channels=32, ham_kwargs={"MD_R": R})
+    ref.eval()
+    rng = np.random.RandomState(11)
+    bases_np = rng.rand(1, 32, R).astype(np.float32)
+    bases_np /= np.linalg.norm(bases_np, axis=1, keepdims=True)
+    ref.hamburger.ham.rand_init = True
+    ref.hamburger.ham._build_bases = \
+        lambda B, S, D, Rk, cuda=False: to_torch(bases_np).repeat(B, 1, 1)
+
+    feats_t = [torch.from_numpy(rng.rand(1, c, s, s).astype(np.float32))
+               for c, s in zip((64, 160, 256), (16, 8, 4))]
+    with torch.no_grad():
+        want = ref(feats_t).numpy()
+
+    sd = ref.state_dict()
+
+    def conv(prefix):
+        p = {"kernel": sd[f"{prefix}.weight"].numpy().transpose(2, 3, 1, 0)}
+        if f"{prefix}.bias" in sd:
+            p["bias"] = sd[f"{prefix}.bias"].numpy()
+        return p
+
+    def gn(prefix):
+        return {"scale": sd[f"{prefix}.weight"].numpy(),
+                "bias": sd[f"{prefix}.bias"].numpy()}
+
+    params = {
+        "squeeze": conv("squeeze.conv"),
+        "squeeze_gn": gn("squeeze.gn"),
+        "align": conv("align.conv"),
+        "align_gn": gn("align.gn"),
+        "cls": conv("cls_seg"),
+        "hamburger": {
+            "ham_in": conv("hamburger.ham_in.conv"),
+            "ham_out": conv("hamburger.ham_out.conv"),
+            "ham_out_gn": gn("hamburger.ham_out.gn"),
+        },
+    }
+    model = LightHamHead(num_classes=7, channels=32, ham_channels=32,
+                         nmf_rank=R)
+    feats = [jnp.asarray(f.numpy().transpose(0, 2, 3, 1)) for f in feats_t]
+    variables = model.init(jax.random.PRNGKey(0), feats)
+    errs = verify_tree_shapes(params, dict(variables["params"]))
+    assert not errs, errs
+    got = model.apply({"params": params}, feats, train=False,
+                      bases=jnp.asarray(bases_np))
+    _allclose_rel(np.asarray(got).transpose(0, 3, 1, 2), want, atol=1e-4)

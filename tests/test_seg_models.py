@@ -5,17 +5,18 @@ import numpy as np
 import pytest
 
 from cvpytorch_tpu.config import CommonConfiguration
-from cvpytorch_tpu.models.heads.seg_heads_extra import nmf_attention
+from cvpytorch_tpu.models.heads.seg_heads_extra import (_default_bases,
+                                                        nmf2d)
 from cvpytorch_tpu.models.segmentor import EncoderDecoder
 
 
-def test_nmf_attention_reduces_rank_error():
+def test_nmf2d_reduces_rank_error():
     rng = np.random.RandomState(0)
     # a genuinely low-rank nonnegative matrix should reconstruct well
-    u = np.abs(rng.rand(1, 64, 4))
-    v = np.abs(rng.rand(1, 4, 16))
-    x = jnp.asarray(u @ v)  # (1, 64, 16)
-    recon = nmf_attention(x, rank=8, iters=30)
+    u = np.abs(rng.rand(1, 16, 4))
+    v = np.abs(rng.rand(1, 4, 64))
+    x = jnp.asarray(u @ v)  # (1, D=16, N=64)
+    recon = nmf2d(x, _default_bases(1, 16, 8), steps=30)
     rel = float(jnp.linalg.norm(recon - x) / jnp.linalg.norm(x))
     assert rel < 0.3, rel
     assert bool(jnp.isfinite(recon).all())
