@@ -30,6 +30,13 @@ SIZE_CFG = {  # subtype suffix → (depth_mul, width_mul)
 _BN = dict(bn_momentum=0.97, bn_eps=1e-3)  # torch momentum 0.03
 
 
+def space_to_depth2(x):
+    """(B, H, W, C) → (B, H/2, W/2, 4C); channel = (2·dy + dx)·C + c."""
+    B, H, W, C = x.shape
+    x = x.reshape(B, H // 2, 2, W // 2, 2, C)
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(B, H // 2, W // 2, 4 * C)
+
+
 class DarknetBottleneck(nn.Module):
     out_channels: int
     shortcut: bool = True
@@ -110,7 +117,15 @@ class YOLOv5CSPDarknet(nn.Module):
         chs = [make_divisible(c * wm) for c in self.out_channels]
         blocks = [make_round(n, dm) for n in self.num_blocks]
 
-        x = ConvBNAct(chs[0], 6, 2, padding=2, act=self.act, **_BN,
+        # stem: the reference's 6×6/s2/p2 conv (yolov5_csp_darknet.py:36)
+        # expressed as space-to-depth + 3×3/s1/p1 on 4× channels —
+        # EXACTLY the same function under the kernel rearrangement
+        # k3[a,b,(2dy+dx)C+c,o] = k6[2a+dy, 2b+dx, c, o]
+        # (utils/porting.stem6_to_s2d_kernel).  Measured on the v5e at
+        # bs128/640: 6.0 ms → 2.0 ms fwd+bwd — the 6×6 conv on a
+        # 3-channel 640² map is MXU-hostile; the s2d form tiles cleanly.
+        x = space_to_depth2(x)
+        x = ConvBNAct(chs[0], 3, 1, padding=1, act=self.act, **_BN,
                       name="stem")(x, train)
         feats = []
         for i in range(4):  # stages 1..4, strides 4/8/16/32

@@ -64,11 +64,29 @@ def _set_path(tree: dict, path: Sequence[str], value):
     node[path[-1]] = value
 
 
+def stem6_to_s2d_kernel(k_hwio: "np.ndarray") -> "np.ndarray":
+    """(6, 6, C, O) stride-2 conv kernel → the equivalent (3, 3, 4C, O)
+    kernel over a 2×2 space-to-depth input (channel = (2·dy + dx)·C + c):
+    y[i,j] = Σ k6[u,v]·x[2i−2+u, 2j−2+v] with u = 2a + dy, v = 2b + dx.
+    Exact — see backbones/csp_darknet.py stem."""
+    kh, kw, C, O = k_hwio.shape
+    assert (kh, kw) == (6, 6), k_hwio.shape
+    out = np.zeros((3, 3, 4 * C, O), k_hwio.dtype)
+    for a in range(3):
+        for b in range(3):
+            for dy in range(2):
+                for dx in range(2):
+                    out[a, b, (2 * dy + dx) * C:(2 * dy + dx + 1) * C] = \
+                        k_hwio[2 * a + dy, 2 * b + dx]
+    return out
+
+
 def port_state_dict(
     state_dict: Mapping[str, "np.ndarray"],
     rules: Iterable[tuple[str, str]],
     strict: bool = False,
     transposed_patterns: Iterable[str] = (),
+    transforms: Mapping[str, callable] | None = None,
 ) -> dict:
     """Map torch ``state_dict`` into flax {'params', 'batch_stats'} trees.
 
@@ -102,6 +120,12 @@ def port_state_dict(
         if flax_path == "":
             continue
         parts = flax_path.split("/") + [leaf]
+        if transforms:
+            full = "/".join(parts)
+            for pat, fn in transforms.items():
+                if re.fullmatch(pat, full):
+                    arr = fn(arr)
+                    break
         _set_path(params if coll == "params" else batch_stats, parts, arr)
     if strict and unmatched:
         raise KeyError(f"unmatched torch keys: {unmatched[:10]}"

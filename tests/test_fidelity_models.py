@@ -166,7 +166,8 @@ def test_yolov5s_full_forward_matches_reference():
 
     from cvpytorch_tpu.config import CommonConfiguration
     from cvpytorch_tpu.models.yolov5 import YOLOv5
-    from cvpytorch_tpu.utils.porting import YOLOV5_RULES
+    from cvpytorch_tpu.utils.porting import (YOLOV5_RULES,
+                                             stem6_to_s2d_kernel)
 
     torch.manual_seed(0)
     nc = 4
@@ -196,7 +197,11 @@ def test_yolov5s_full_forward_matches_reference():
     for mod, pre in ((bb, "backbone"), (neck, "neck"), (det, "detect")):
         for k, v in mod.state_dict().items():
             sd[f"{pre}.{k}"] = v
-    ported = port_state_dict(sd, YOLOV5_RULES, strict=True)
+    # the repo stem is space-to-depth + 3×3 (exact 6×6/s2 equivalent,
+    # csp_darknet.py stem) — rearrange the reference kernel accordingly
+    ported = port_state_dict(
+        sd, YOLOV5_RULES, strict=True,
+        transforms={r"backbone/stem/conv/kernel": stem6_to_s2d_kernel})
 
     model = YOLOv5(
         dictionary=tuple({f"c{i}": 1.0} for i in range(nc)),
