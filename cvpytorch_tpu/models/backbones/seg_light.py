@@ -12,6 +12,7 @@ from typing import Sequence
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import linen as nn
 
 from ...registry import BACKBONES, HEADS
@@ -41,63 +42,193 @@ class _MBBlock(nn.Module):
         return h
 
 
+class Conv2dBN(nn.Module):
+    """conv (no bias) + BN (reference topformer_backbone.py:79-97)."""
+
+    out: int
+    ks: int = 1
+    stride: int = 1
+    pad: int = 0
+    groups: int = 1
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = nn.Conv(self.out, (self.ks, self.ks), strides=self.stride,
+                    padding=self.pad, feature_group_count=self.groups,
+                    use_bias=False, name="c")(x)
+        return nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                            epsilon=1e-5, name="bn")(x)
+
+
+class TFInvRes(nn.Module):
+    """TopFormer InvertedResidual (reference :122-164); TPM activation is
+    plain ReLU (TokenPyramidModule default, :172)."""
+
+    out: int
+    ks: int = 3
+    stride: int = 1
+    expand: int = 1
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        inp = x.shape[-1]
+        hid = int(round(inp * self.expand))
+        h = x
+        i = 0
+        if self.expand != 1:
+            h = nn.relu(Conv2dBN(hid, 1, name=f"conv{i}")(h, train))
+            i += 1
+        h = nn.relu(Conv2dBN(hid, self.ks, self.stride, self.ks // 2,
+                             groups=hid, name=f"conv{i}")(h, train))
+        h = Conv2dBN(self.out, 1, name=f"conv{i + 1}")(h, train)
+        if self.stride == 1 and inp == self.out:
+            return x + h
+        return h
+
+
+def _relu6(x):
+    return jnp.minimum(jnp.maximum(x, 0.0), 6.0)
+
+
+def _h_sigmoid(x):
+    return _relu6(x + 3.0) / 6.0
+
+
+def _adaptive_avg_pool(x, th, tw):
+    B, H, W, C = x.shape
+    assert H % th == 0 and W % tw == 0, (H, W, th, tw)
+    return x.reshape(B, th, H // th, tw, W // tw, C).mean(axis=(2, 4))
+
+
+class TFAttention(nn.Module):
+    """Per-map conv attention (reference :208-244): to_q/k/v Conv2dBN 1×1
+    with key_dim per head; proj = ReLU6 → Conv2dBN(bn_weight_init 0)."""
+
+    dim: int
+    key_dim: int = 16
+    heads: int = 4
+    attn_ratio: int = 2
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        B, H, W, C = x.shape
+        N = H * W
+        nh_kd = self.key_dim * self.heads
+        d = self.attn_ratio * self.key_dim
+        dh = d * self.heads
+        q = Conv2dBN(nh_kd, 1, name="to_q")(x, train)
+        k = Conv2dBN(nh_kd, 1, name="to_k")(x, train)
+        v = Conv2dBN(dh, 1, name="to_v")(x, train)
+        # NCHW reshape semantics: channel = head*key_dim + ki
+        qq = q.reshape(B, N, self.heads, self.key_dim).transpose(0, 2, 1, 3)
+        kk = k.reshape(B, N, self.heads, self.key_dim).transpose(0, 2, 3, 1)
+        vv = v.reshape(B, N, self.heads, d).transpose(0, 2, 1, 3)
+        attn = jax.nn.softmax((qq * self.key_dim ** -0.5) @ kk, -1)
+        xx = (attn @ vv).transpose(0, 2, 1, 3).reshape(B, H, W, dh)
+        xx = _relu6(xx)
+        return Conv2dBN(self.dim, 1, name="proj")(xx, train)
+
+
+class TFBlock(nn.Module):
+    """Attention + conv-MLP with ReLU6 (reference :246-267)."""
+
+    dim: int
+    key_dim: int
+    heads: int
+    mlp_ratio: int = 2
+    attn_ratio: int = 2
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = x + TFAttention(self.dim, self.key_dim, self.heads,
+                            self.attn_ratio, name="attn")(x, train)
+        hid = self.dim * self.mlp_ratio
+        h = Conv2dBN(hid, 1, name="fc1")(x, train)
+        h = nn.Conv(hid, (3, 3), padding=1, feature_group_count=hid,
+                    use_bias=True, name="dwconv")(h)
+        h = _relu6(h)
+        h = Conv2dBN(self.dim, 1, name="fc2")(h, train)
+        return x + h
+
+
+_TF_CFGS = {
+    # (k, t, c, s) rows; channels; out_channels; token indices; heads
+    "topformer_t": ([[3, 1, 16, 1], [3, 4, 16, 2], [3, 3, 16, 1],
+                     [5, 3, 32, 2], [5, 3, 32, 1], [3, 3, 64, 2],
+                     [3, 3, 64, 1], [5, 6, 96, 2], [5, 6, 96, 1]],
+                    (16, 32, 64, 96), 128, (2, 4, 6, 8), 4),
+    "topformer_s": ([[3, 1, 16, 1], [3, 4, 24, 2], [3, 3, 24, 1],
+                     [5, 3, 48, 2], [5, 3, 48, 1], [3, 3, 96, 2],
+                     [3, 3, 96, 1], [5, 6, 128, 2], [5, 6, 128, 1],
+                     [3, 6, 128, 1]],
+                    (24, 48, 96, 128), 192, (2, 4, 6, 9), 6),
+    "topformer_b": ([[3, 1, 16, 1], [3, 4, 32, 2], [3, 3, 32, 1],
+                     [5, 3, 64, 2], [5, 3, 64, 1], [3, 3, 128, 2],
+                     [3, 3, 128, 1], [5, 6, 160, 2], [5, 6, 160, 1],
+                     [3, 6, 160, 1]],
+                    (32, 64, 128, 160), 256, (2, 4, 6, 9), 8),
+}
+
+
 @BACKBONES.register(name="TopFormerBackbone", aliases=("TopFormer_bb",))
 class TopFormerBackbone(nn.Module):
+    """Faithful TopFormer (reference topformer_backbone.py:349-436):
+    MobileNetV2-style token pyramid (plain-ReLU blocks), PyramidPoolAgg
+    (stride-2 adaptive pool + channel concat), 4 ReLU6 transformer blocks
+    with key_dim-16 conv attention, and SemanticInjection (local·h_sigmoid
+    (gate) + upsampled global) on out_stages — each output has
+    out_channels (128/192/256) channels."""
+
     subtype: str = "topformer_t"
-    out_stages: Sequence[int] = (1, 2, 3, 4)
+    out_stages: Sequence[int] = (1, 2, 3)
     classifier: bool = False
     num_classes: int = 1000
     pretrained: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        dims = {"topformer_t": (16, 32, 64, 96),
-                "topformer_s": (24, 48, 96, 128),
-                "topformer_b": (32, 64, 128, 160)}[self.subtype]
-        embed = sum(dims)
-        x = ConvBNAct(16, 3, 2, act="relu6", **_BN, name="stem")(x, train)
-        feats = []
-        for si, d in enumerate(dims, start=1):
-            x = _MBBlock(d, stride=2, name=f"stage{si}_down")(x, train)
-            x = _MBBlock(d, name=f"stage{si}_b1")(x, train)
-            feats.append(x)
-        # token pyramid: pool every scale to the smallest, concat channels
-        tgt = feats[-1].shape[1:3]
-        tokens = jnp.concatenate(
-            [jax.image.resize(f, (f.shape[0], *tgt, f.shape[-1]), "linear")
-             for f in feats], -1)
-        B, h, w, C = tokens.shape
-        t = tokens.reshape(B, h * w, C)
-        for i in range(2):  # semantics extractor
-            a = nn.MultiHeadDotProductAttention(
-                num_heads=4, name=f"attn{i}")(nn.LayerNorm(
-                    name=f"ln1_{i}")(t))
-            t = t + a
-            f2 = nn.Dense(C * 2, name=f"mlp1_{i}")(nn.LayerNorm(
-                name=f"ln2_{i}")(t))
-            t = t + nn.Dense(C, name=f"mlp2_{i}")(nn.gelu(f2))
-        global_tokens = t.reshape(B, h, w, C)
-        # SIM injection: per scale, local + upsampled global (proj + gate)
+        cfgs, channels, out_ch, token_idx, heads = _TF_CFGS[self.subtype]
+        x = nn.relu(Conv2dBN(16, 3, 2, 1, name="stem")(x, train))
+        tokens = []
+        for i, (k, t, c, s) in enumerate(cfgs):
+            x = TFInvRes(c, ks=k, stride=s, expand=t,
+                         name=f"layer{i + 1}")(x, train)
+            if i in token_idx:
+                tokens.append(x)
+        # PyramidPoolAgg stride 2 on the last level
+        H, W = tokens[-1].shape[1:3]
+        th, tw = (H - 1) // 2 + 1, (W - 1) // 2 + 1
+        agg = jnp.concatenate(
+            [_adaptive_avg_pool(f, th, tw) for f in tokens], -1)
+        embed = sum(channels)
+        for bi in range(4):
+            agg = TFBlock(embed, 16, heads, name=f"trans{bi}")(agg, train)
+        parts = jnp.split(agg, np.cumsum(channels)[:-1], axis=-1)
         outs = []
-        start = 0
-        for si, (f, d) in enumerate(zip(feats, dims)):
-            g = resize_bilinear(global_tokens, f.shape[1:3])
-            g_proj = ConvBNAct(d, 1, act=None, **_BN,
-                               name=f"inj_g{si}")(g, train)
-            gate = nn.sigmoid(ConvBNAct(d, 1, act=None, **_BN,
-                                        name=f"inj_gate{si}")(g, train))
-            l_proj = ConvBNAct(d, 1, act=None, **_BN,
-                               name=f"inj_l{si}")(f, train)
-            outs.append(l_proj * gate + g_proj)
+        for i in range(len(channels)):
+            if i not in self.out_stages:
+                continue
+            loc, glo = tokens[i], parts[i]
+            size = loc.shape[1:3]
+            l_emb = nn.relu(Conv2dBN(out_ch, 1,
+                                     name=f"sim{i}_local")(loc, train))
+            g_act = nn.relu(Conv2dBN(out_ch, 1,
+                                     name=f"sim{i}_act")(glo, train))
+            g_emb = nn.relu(Conv2dBN(out_ch, 1,
+                                     name=f"sim{i}_global")(glo, train))
+            sig = resize_bilinear(_h_sigmoid(g_act), size)
+            outs.append(l_emb * sig + resize_bilinear(g_emb, size))
         if self.classifier:
             return nn.Dense(self.num_classes, name="fc")(
                 jnp.mean(outs[-1], axis=(1, 2)))
-        return tuple(outs[i - 1] for i in self.out_stages)
+        return tuple(outs)
 
 
 @HEADS.register(name="TopFormerHead")
 class TopFormerHead(nn.Module):
-    """Sum-fused light head (reference: heads/seg/topformer_head.py)."""
+    """Sum-fused head (reference heads/seg/topformer_head.py:15-33):
+    equal-channel inputs summed at the first level's size, 1×1
+    ConvBNReLU fuse, dropout + classifier."""
 
     num_classes: int = 19
     channels: int = 96
@@ -106,12 +237,9 @@ class TopFormerHead(nn.Module):
     @nn.compact
     def __call__(self, feats, train: bool = False):
         size = feats[0].shape[1:3]
-        acc = None
-        for i, f in enumerate(feats):
-            y = ConvBNAct(self.channels, 1, act="relu", **_BN,
-                          name=f"proj{i}")(f, train)
-            y = resize_bilinear(y, size)
-            acc = y if acc is None else acc + y
+        acc = feats[0]
+        for f in feats[1:]:
+            acc = acc + resize_bilinear(f, size)
         acc = ConvBNAct(self.channels, 1, act="relu", **_BN,
                         name="fuse")(acc, train)
         acc = nn.Dropout(self.dropout, deterministic=not train)(acc)

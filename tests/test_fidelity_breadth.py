@@ -789,3 +789,87 @@ def test_lightham_head_matches_reference():
     got = model.apply({"params": params}, feats, train=False,
                       bases=jnp.asarray(bases_np))
     _allclose_rel(np.asarray(got).transpose(0, 3, 1, 2), want, atol=1e-4)
+
+
+def test_topformer_backbone_matches_reference():
+    """TopFormer-t backbone vs /root/reference/src/models/backbones/seg/
+    topformer_backbone.py:349-436: token pyramid (plain-ReLU MBv2
+    blocks), stride-2 PyramidPoolAgg, 4 ReLU6 conv-attention transformer
+    blocks (key_dim 16), SemanticInjection h_sigmoid gating."""
+    from src.models.backbones.seg.topformer_backbone import (
+        TopFormerBackbone as RefTF)
+
+    from cvpytorch_tpu.models.backbones.seg_light import TopFormerBackbone
+
+    torch.manual_seed(0)
+    ref = RefTF(subtype="topformer_t", out_stages=[1, 2, 3],
+                pretrained=False)
+    _randomize_bn(ref)
+    ref.eval()
+    x = np.random.RandomState(12).rand(1, 3, 64, 64).astype(np.float32)
+    with torch.no_grad():
+        want = [o.numpy() for o in ref(to_torch(x))]
+
+    sd = ref.state_dict()
+
+    def cbn(prefix):
+        return ({"c": {"kernel": sd[f"{prefix}.c.weight"].numpy()
+                       .transpose(2, 3, 1, 0)},
+                 "bn": {"scale": sd[f"{prefix}.bn.weight"].numpy(),
+                        "bias": sd[f"{prefix}.bn.bias"].numpy()}},
+                {"bn": {"mean": sd[f"{prefix}.bn.running_mean"].numpy(),
+                        "var": sd[f"{prefix}.bn.running_var"].numpy()}})
+
+    params, stats = {}, {}
+    params["stem"], stats["stem"] = cbn("tpm.stem.0")
+    cfgs = [[3, 1, 16, 1], [3, 4, 16, 2], [3, 3, 16, 1], [5, 3, 32, 2],
+            [5, 3, 32, 1], [3, 3, 64, 2], [3, 3, 64, 1], [5, 6, 96, 2],
+            [5, 6, 96, 1]]
+    for i, (k, t, c, s) in enumerate(cfgs):
+        name = f"layer{i + 1}"
+        blk, bst = {}, {}
+        n_convs = 3 if t != 1 else 2
+        for j in range(n_convs):
+            # torch Sequential interleaves activations: conv indices are
+            # 0, 2, 4 when expanded, else 0, 2
+            tidx = [0, 2, 4][j] if t != 1 else [0, 2][j]
+            p, st = cbn(f"tpm.{name}.conv.{tidx}")
+            blk[f"conv{j}"], bst[f"conv{j}"] = p, st
+        params[name], stats[name] = blk, bst
+    for bi in range(4):
+        b = f"trans.transformer_blocks.{bi}"
+        blk, bst = {}, {}
+        at, ast = {}, {}
+        for nm in ("to_q", "to_k", "to_v"):
+            at[nm], ast[nm] = cbn(f"{b}.attn.{nm}")
+        at["proj"], ast["proj"] = cbn(f"{b}.attn.proj.1")
+        blk["attn"], bst["attn"] = at, ast
+        blk["fc1"], bst["fc1"] = cbn(f"{b}.mlp.fc1")
+        blk["fc2"], bst["fc2"] = cbn(f"{b}.mlp.fc2")
+        blk["dwconv"] = {
+            "kernel": sd[f"{b}.mlp.dwconv.weight"].numpy()
+            .transpose(2, 3, 1, 0),
+            "bias": sd[f"{b}.mlp.dwconv.bias"].numpy()}
+        params[f"trans{bi}"], stats[f"trans{bi}"] = blk, bst
+    for i in (1, 2, 3):
+        for ours, theirs in (("local", "local_embedding"),
+                             ("act", "global_act"),
+                             ("global", "global_embedding")):
+            p = {"c": {"kernel": sd[f"SIM.{i}.{theirs}.conv.weight"]
+                       .numpy().transpose(2, 3, 1, 0)},
+                 "bn": {"scale": sd[f"SIM.{i}.{theirs}.bn.weight"].numpy(),
+                        "bias": sd[f"SIM.{i}.{theirs}.bn.bias"].numpy()}}
+            st = {"bn": {
+                "mean": sd[f"SIM.{i}.{theirs}.bn.running_mean"].numpy(),
+                "var": sd[f"SIM.{i}.{theirs}.bn.running_var"].numpy()}}
+            params[f"sim{i}_{ours}"], stats[f"sim{i}_{ours}"] = p, st
+
+    model = TopFormerBackbone(subtype="topformer_t", out_stages=(1, 2, 3))
+    xs = jnp.asarray(x.transpose(0, 2, 3, 1))
+    variables = model.init(jax.random.PRNGKey(0), xs)
+    errs = verify_tree_shapes(params, dict(variables["params"]))
+    assert not errs, errs
+    feats = model.apply({"params": params, "batch_stats": stats}, xs,
+                        train=False)
+    for got, w in zip(feats, want):
+        _allclose_rel(np.asarray(got).transpose(0, 3, 1, 2), w, atol=1e-4)
