@@ -41,26 +41,33 @@ class STDCCatBottleneck(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        outs = []
+        # exact reference channel plan (stdcnet.py:80-127, block_num 4):
+        # out1 1×1 → ch/2; stride-2 blocks run a depthwise-3×3+BN 'avd'
+        # on out1 and 3×3-avg-pool the skip; then ch/4 → ch/8 → ch/8 —
+        # concat is exactly ch wide (no truncation)
         ch = self.out_channels
-        h = ConvBNAct(ch // 2, 1, act="relu", **_BN, name="conv0")(x, train)
+        out1 = ConvBNAct(ch // 2, 1, act="relu", **_BN,
+                         name="conv0")(x, train)
         if self.stride == 2:
-            skip = nn.avg_pool(h, (3, 3), strides=(2, 2),
+            h = nn.Conv(ch // 2, (3, 3), strides=2, padding=1,
+                        feature_group_count=ch // 2, use_bias=False,
+                        name="avd_conv")(out1)
+            h = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                             epsilon=1e-5, name="avd_bn")(h)
+            skip = nn.avg_pool(out1, (3, 3), strides=(2, 2),
                                padding=((1, 1), (1, 1)))
-            outs.append(skip)
-            h = ConvBNAct(ch // 2, 3, 2, act="relu", **_BN,
-                          name="conv1")(h, train)
         else:
-            outs.append(h)
-            h = ConvBNAct(ch // 2, 3, act="relu", **_BN, name="conv1")(h, train)
-        outs.append(h)
+            h = out1
+            skip = out1
+        outs = [skip]
         div = 4
-        for i in range(2, self.blocks):
-            h = ConvBNAct(ch // div, 3, act="relu", **_BN,
+        for i in range(1, self.blocks):
+            c = ch // div if i < self.blocks - 1 else ch // (div // 2)
+            h = ConvBNAct(c, 3, act="relu", **_BN,
                           name=f"conv{i}")(h, train)
             outs.append(h)
             div *= 2
-        return jnp.concatenate(outs, -1)[..., :ch]
+        return jnp.concatenate(outs, -1)
 
 
 @BACKBONES.register(name="STDCNet")

@@ -873,3 +873,65 @@ def test_topformer_backbone_matches_reference():
                         train=False)
     for got, w in zip(feats, want):
         _allclose_rel(np.asarray(got).transpose(0, 3, 1, 2), w, atol=1e-4)
+
+
+def test_stdcnet_backbone_matches_reference():
+    """STDCNet-1 backbone vs /root/reference/src/models/backbones/seg/
+    stdcnet.py:18-184 (ConvX stem/layer1, CatBottleneck stages with the
+    depthwise 'avd' stride path and avg-pool skip).  Note the reference
+    ignores its subtype for depth — 'stdc2' builds the same [2,2,2]
+    layout upstream; our stdc2 uses the paper's (4,5,3)."""
+    from src.models.backbones.seg.stdcnet import STDCNet as RefSTDC
+
+    from cvpytorch_tpu.models.light_seg import STDCNet
+
+    torch.manual_seed(0)
+    ref = RefSTDC(subtype="stdc1", out_stages=[2, 3, 4], pretrained=False)
+    _randomize_bn(ref)
+    ref.eval()
+    x = np.random.RandomState(13).rand(1, 3, 64, 64).astype(np.float32)
+    with torch.no_grad():
+        want = [o.numpy() for o in ref(to_torch(x))]
+
+    sd = ref.state_dict()
+
+    def convx(prefix):
+        return ({"conv": {"kernel": sd[f"{prefix}.conv.weight"].numpy()
+                          .transpose(2, 3, 1, 0)},
+                 "bn": {"scale": sd[f"{prefix}.bn.weight"].numpy(),
+                        "bias": sd[f"{prefix}.bn.bias"].numpy()}},
+                {"bn": {"mean": sd[f"{prefix}.bn.running_mean"].numpy(),
+                        "var": sd[f"{prefix}.bn.running_var"].numpy()}})
+
+    params, stats = {}, {}
+    params["stem1"], stats["stem1"] = convx("stem")
+    params["stem2"], stats["stem2"] = convx("layer1")
+    for li, si in ((2, 3), (3, 4), (4, 5)):
+        for j in range(2):
+            blk, bst = {}, {}
+            base = f"layer{li}.{j}"
+            blk["conv0"], bst["conv0"] = convx(f"{base}.conv_list.0")
+            for k in range(1, 4):
+                blk[f"conv{k}"], bst[f"conv{k}"] = \
+                    convx(f"{base}.conv_list.{k}")
+            if j == 0:   # stride-2 block has the avd layer
+                blk["avd_conv"] = {
+                    "kernel": sd[f"{base}.avd_layer.0.weight"].numpy()
+                    .transpose(2, 3, 1, 0)}
+                blk["avd_bn"] = {
+                    "scale": sd[f"{base}.avd_layer.1.weight"].numpy(),
+                    "bias": sd[f"{base}.avd_layer.1.bias"].numpy()}
+                bst["avd_bn"] = {
+                    "mean": sd[f"{base}.avd_layer.1.running_mean"].numpy(),
+                    "var": sd[f"{base}.avd_layer.1.running_var"].numpy()}
+            params[f"stage{si}_{j}"], stats[f"stage{si}_{j}"] = blk, bst
+
+    model = STDCNet(subtype="stdc1", out_stages=(3, 4, 5))
+    xs = jnp.asarray(x.transpose(0, 2, 3, 1))
+    variables = model.init(jax.random.PRNGKey(0), xs)
+    errs = verify_tree_shapes(params, dict(variables["params"]))
+    assert not errs, errs
+    feats = model.apply({"params": params, "batch_stats": stats}, xs,
+                        train=False)
+    for got, w in zip(feats, want):
+        _allclose_rel(np.asarray(got).transpose(0, 3, 1, 2), w, atol=1e-4)
