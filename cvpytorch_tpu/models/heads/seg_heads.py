@@ -19,9 +19,12 @@ _BN = dict(bn_momentum=0.9, bn_eps=1e-5)
 
 
 def resize_bilinear(x, size):
-    """NHWC bilinear resize inside jit (align_corners=False semantics)."""
+    """NHWC bilinear resize inside jit (torch F.interpolate
+    align_corners=False semantics — which also never antialiases on
+    downsampling, hence antialias=False)."""
     return jax.image.resize(
-        x, (x.shape[0], size[0], size[1], x.shape[-1]), method="bilinear"
+        x, (x.shape[0], size[0], size[1], x.shape[-1]), method="bilinear",
+        antialias=False,
     )
 
 
@@ -171,7 +174,13 @@ class UPerHead(nn.Module):
         h, w = c5.shape[1:3]
         ppm = [c5]
         for i, s in enumerate(self.pool_scales):
-            p = jax.image.resize(c5, (c5.shape[0], s, s, c5.shape[-1]), "linear")
+            # AdaptiveAvgPool2d(s): exact block means when divisible
+            # (the torch semantics); resize fallback otherwise
+            p = nn.avg_pool(c5, (h // s, w // s),
+                            strides=(h // s, w // s)) \
+                if not (h % s or w % s) else \
+                jax.image.resize(c5, (c5.shape[0], s, s, c5.shape[-1]),
+                                 "linear")
             p = ConvBNAct(self.channels, 1, act="relu", **_BN,
                           name=f"ppm{i}")(p, train)
             ppm.append(resize_bilinear(p, (h, w)))

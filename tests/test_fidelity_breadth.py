@@ -935,3 +935,66 @@ def test_stdcnet_backbone_matches_reference():
                         train=False)
     for got, w in zip(feats, want):
         _allclose_rel(np.asarray(got).transpose(0, 3, 1, 2), w, atol=1e-4)
+
+
+@pytest.mark.parametrize("which", ["psp", "uper"])
+def test_psp_uper_heads_match_reference(which):
+    """PSPHead / UPerHead vs /root/reference/src/models/heads/seg/
+    {psp,uper}_head.py (adaptive-pool PPM + ConvBNReLU bottlenecks;
+    UPer adds the lateral top-down FPN and multi-level fuse)."""
+    if which == "psp":
+        from src.models.heads.seg.psp_head import PSPHead as RefHead
+
+        from cvpytorch_tpu.models.heads.seg_heads import PSPHead as Head
+        ref = RefHead(num_classes=7, in_channels=96, channels=32)
+        in_chs, sizes = (96,), (12,)
+    else:
+        from src.models.heads.seg.uper_head import UPerHead as RefHead
+
+        from cvpytorch_tpu.models.heads.seg_heads import UPerHead as Head
+        ref = RefHead(num_classes=7, in_channels=[32, 48, 64, 96],
+                      channels=32)
+        in_chs, sizes = (32, 48, 64, 96), (48, 24, 18, 12)
+
+    torch.manual_seed(0)
+    _randomize_bn(ref)
+    ref.eval()
+    rng = np.random.RandomState(14)
+    feats_t = [torch.from_numpy(rng.rand(1, c, s, s).astype(np.float32))
+               for c, s in zip(in_chs, sizes)]
+    with torch.no_grad():
+        want = ref(feats_t[-1] if which == "psp" else feats_t).numpy()
+
+    sd = ref.state_dict()
+    params, stats = {}, {}
+    if which == "psp":
+        for i in range(4):
+            p, s = _conv_bn(sd, f"psp.{i}.1")
+            params[f"pool{i}"], stats[f"pool{i}"] = p, s
+        p, s = _conv_bn(sd, "bottleneck")
+        params["bottleneck"], stats["bottleneck"] = p, s
+    else:
+        for i in range(4):
+            p, s = _conv_bn(sd, f"ppm.{i}.1")
+            params[f"ppm{i}"], stats[f"ppm{i}"] = p, s
+        p, s = _conv_bn(sd, "ppm_bottleneck")
+        params["ppm_bottleneck"], stats["ppm_bottleneck"] = p, s
+        for i in range(3):
+            p, s = _conv_bn(sd, f"lateral_convs.{i}")
+            params[f"lateral{i}"], stats[f"lateral{i}"] = p, s
+            p, s = _conv_bn(sd, f"fpn_convs.{i}")
+            params[f"fpn_conv{i}"], stats[f"fpn_conv{i}"] = p, s
+        p, s = _conv_bn(sd, "fpn_bottleneck")
+        params["fuse"], stats["fuse"] = p, s
+    params["cls"] = {"kernel": sd["cls_seg.weight"].numpy()
+                     .transpose(2, 3, 1, 0),
+                     "bias": sd["cls_seg.bias"].numpy()}
+
+    model = Head(num_classes=7, channels=32)
+    feats = [jnp.asarray(f.numpy().transpose(0, 2, 3, 1)) for f in feats_t]
+    variables = model.init(jax.random.PRNGKey(0), feats)
+    errs = verify_tree_shapes(params, dict(variables["params"]))
+    assert not errs, errs
+    got = model.apply({"params": params, "batch_stats": stats}, feats,
+                      train=False)
+    _allclose_rel(np.asarray(got).transpose(0, 3, 1, 2), want, atol=1e-4)
