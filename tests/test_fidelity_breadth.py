@@ -998,3 +998,42 @@ def test_psp_uper_heads_match_reference(which):
     got = model.apply({"params": params, "batch_stats": stats}, feats,
                       train=False)
     _allclose_rel(np.asarray(got).transpose(0, 3, 1, 2), want, atol=1e-4)
+
+
+def test_segformer_head_matches_reference():
+    """SegFormer all-MLP decoder vs /root/reference/src/models/heads/seg/
+    segformer_head.py:14-67 (per-level linear embeds, upsample to C1,
+    reverse-order concat, ConvBNReLU fuse)."""
+    from src.models.heads.seg.segformer_head import SegFormerHead as Ref
+
+    from cvpytorch_tpu.models.heads.seg_heads_extra import SegFormerHead
+
+    torch.manual_seed(0)
+    ref = Ref(num_classes=7, in_channels=[32, 64, 160, 256], channels=64,
+              strides=[4, 8, 16, 32])
+    _randomize_bn(ref)
+    ref.eval()
+    rng = np.random.RandomState(15)
+    feats_t = [torch.from_numpy(rng.rand(1, c, s, s).astype(np.float32))
+               for c, s in zip((32, 64, 160, 256), (32, 16, 8, 4))]
+    with torch.no_grad():
+        want = ref(feats_t).numpy()
+
+    sd = ref.state_dict()
+    params, stats = {}, {}
+    for i in range(4):
+        params[f"linear{i}"] = _dense(sd, f"linear_c{i + 1}.proj")
+    p, s = _conv_bn(sd, "linear_fuse")
+    params["fuse"], stats["fuse"] = p, s
+    params["cls"] = {"kernel": sd["cls_seg.weight"].numpy()
+                     .transpose(2, 3, 1, 0),
+                     "bias": sd["cls_seg.bias"].numpy()}
+
+    model = SegFormerHead(num_classes=7, channels=64)
+    feats = [jnp.asarray(f.numpy().transpose(0, 2, 3, 1)) for f in feats_t]
+    variables = model.init(jax.random.PRNGKey(0), feats)
+    errs = verify_tree_shapes(params, dict(variables["params"]))
+    assert not errs, errs
+    got = model.apply({"params": params, "batch_stats": stats}, feats,
+                      train=False)
+    _allclose_rel(np.asarray(got).transpose(0, 3, 1, 2), want, atol=1e-4)
