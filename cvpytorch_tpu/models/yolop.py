@@ -114,12 +114,27 @@ class YOLOP(nn.Module):
 
 @MODELS.register(name="FastestDet")
 class FastestDet(nn.Module):
-    """(reference: src/models/fastestdet.py:80) — single-level anchor-free
-    detector: ShuffleNetV2 features fused at one scale, 1×1 heads for
-    obj/cls/box (ltrb via sigmoid-scaled offsets)."""
+    """FastestDet (reference: src/models/fastestdet.py:62-168,
+    necks/fastestdet_neck.py:11-90, heads/fastestdet_head.py:11-56,
+    losses/fastestdet_loss.py:12-154) — single-level anchor-free detector.
+
+    Faithful forward: C3 avg-pooled down / C5 nearest-upsampled to C4's
+    stride-16 grid, concat → SPP (1×1 → parallel 1/2/3-deep dw5 branches
+    → concat → 1×1+BN → residual relu) → head (1×1 → per-branch dw5 +
+    1×1(no bias)+BN) emitting [sigmoid(obj), reg, softmax(cls)] exactly
+    like the reference (obj/cls are PROBABILITIES in the raw output).
+
+    Loss is the reference's reformulated masked-fixed-shape: 4-quadrant
+    center assignment (cells at index 0 excluded — the reference bounds
+    filter quirk, fastestdet_loss.py:77), SIoU, keep-above-mean-IoU
+    filter, NLL on log-softmax cls, and the double-sigmoid obj BCE (the
+    reference feeds the already-sigmoided obj map to BCEWithLogitsLoss —
+    replicated as-is) with the 0.75/count-balanced factor map and the
+    8/16/1 weights."""
 
     dictionary: Sequence[Any] = ()
     model_cfg: Any = None
+    out_channels: int = 96
     stride: int = 16
     conf_threshold: float = 0.05
     iou_threshold: float = 0.45
@@ -138,86 +153,184 @@ class FastestDet(nn.Module):
 
     @nn.compact
     def _raw(self, images, train: bool):
+        oc = self.out_channels
+        bn = dict(bn_momentum=0.9, bn_eps=1e-5)
+        dw = lambda name: ConvBNAct(oc, 5, groups=oc, act="relu", **bn,
+                                    name=name)
         c3, c4, c5 = self.backbone(images, train=train)
-        tgt = c4.shape[1:3]
-        f = jnp.concatenate([
-            resize_bilinear(c3, tgt), c4, resize_bilinear(c5, tgt)], -1)
-        f = ConvBNAct(96, 1, act="relu", bn_momentum=0.9, bn_eps=1e-5,
-                      name="fuse")(f, train)
-        for i in range(3):
-            f = ConvBNAct(96, 5, groups=96, act="relu", bn_momentum=0.9,
-                          bn_eps=1e-5, name=f"dw{i}")(f, train)
-            f = ConvBNAct(96, 1, act="relu", bn_momentum=0.9, bn_eps=1e-5,
-                          name=f"pw{i}")(f, train)
-        obj = nn.Conv(1, (1, 1), name="obj")(f)
-        cls = nn.Conv(self.num_classes, (1, 1), name="cls")(f)
-        reg = nn.Conv(4, (1, 1), name="reg")(f)
-        B, h, w, _ = obj.shape
-        return jnp.concatenate([reg, obj, cls], -1).reshape(B, h * w, -1), (h, w)
+        B, h, w, _ = c4.shape
+        p5 = jnp.repeat(jnp.repeat(c5, 2, axis=1), 2, axis=2)
+        p3 = nn.avg_pool(c3, (3, 3), strides=(2, 2),
+                         padding=((1, 1), (1, 1)))
+        cat = jnp.concatenate([p3, c4, p5], -1)
+        x = ConvBNAct(oc, 1, act="relu", **bn, name="spp_in")(cat, train)
+        y1 = dw("s1_0")(x, train)
+        y2 = dw("s2_1")(dw("s2_0")(x, train), train)
+        y3 = dw("s3_2")(dw("s3_1")(dw("s3_0")(x, train), train), train)
+        y = ConvBNAct(oc, 1, act=None, **bn, name="spp_out")(
+            jnp.concatenate([y1, y2, y3], -1), train)
+        f = nn.relu(x + y)
+        hd = ConvBNAct(oc, 1, act="relu", **bn, name="head_in")(f, train)
 
-    def _decode(self, preds, hw):
-        h, w = hw
-        ys = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0).reshape(-1)
-        xs = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1).reshape(-1)
-        cx = (jax.nn.sigmoid(preds[..., 0]) + xs[None]) * self.stride
-        cy = (jax.nn.sigmoid(preds[..., 1]) + ys[None]) * self.stride
-        bw = jnp.exp(jnp.clip(preds[..., 2], -8, 6)) * self.stride
-        bh = jnp.exp(jnp.clip(preds[..., 3], -8, 6)) * self.stride
-        return jnp.stack([cx - bw / 2, cy - bh / 2,
-                          cx + bw / 2, cy + bh / 2], -1)
+        def branch(out_ch, name):
+            z = dw(f"{name}_dw")(hd, train)
+            return ConvBNAct(out_ch, 1, act=None, **bn,
+                             name=f"{name}_out")(z, train)
 
-    def __call__(self, images, targets=None, mode: str = "infer"):
+        obj = jax.nn.sigmoid(branch(1, "obj"))
+        reg = branch(4, "reg")
+        cls = jax.nn.softmax(branch(self.num_classes, "cls"), -1)
+        return jnp.concatenate([obj, reg, cls], -1)      # (B, h, w, 5+C)
+
+    def _decode(self, pred, images):
+        """reference fastestdet.py:20-47 (tanh center, sigmoid wh,
+        normalized → image px); score = obj · max cls."""
+        B, h, w, _ = pred.shape
+        ih, iw = images.shape[1:3]
+        gy = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
+        gx = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
+        cx = (jnp.tanh(pred[..., 1]) + gx) / w * iw
+        cy = (jnp.tanh(pred[..., 2]) + gy) / h * ih
+        bw = jax.nn.sigmoid(pred[..., 3]) * iw
+        bh = jax.nn.sigmoid(pred[..., 4]) * ih
+        boxes = jnp.stack([cx - bw / 2, cy - bh / 2,
+                           cx + bw / 2, cy + bh / 2], -1)
+        scores = pred[..., 0] * pred[..., 5:].max(-1)
+        labels = pred[..., 5:].argmax(-1)
+        P = h * w
+        return (boxes.reshape(B, P, 4), scores.reshape(B, P),
+                labels.reshape(B, P))
+
+    def _siou(self, pbox, gbox):
+        """SIoU on cxcywh grid-unit boxes (fastestdet_loss.py:16-57)."""
+        import math as _math
+
+        eps = 1e-7
+        b1x1, b1x2 = pbox[..., 0] - pbox[..., 2] / 2, \
+            pbox[..., 0] + pbox[..., 2] / 2
+        b1y1, b1y2 = pbox[..., 1] - pbox[..., 3] / 2, \
+            pbox[..., 1] + pbox[..., 3] / 2
+        b2x1, b2x2 = gbox[..., 0] - gbox[..., 2] / 2, \
+            gbox[..., 0] + gbox[..., 2] / 2
+        b2y1, b2y2 = gbox[..., 1] - gbox[..., 3] / 2, \
+            gbox[..., 1] + gbox[..., 3] / 2
+        inter = jnp.clip(jnp.minimum(b1x2, b2x2) -
+                         jnp.maximum(b1x1, b2x1), 0) * \
+            jnp.clip(jnp.minimum(b1y2, b2y2) - jnp.maximum(b1y1, b2y1), 0)
+        w1, h1 = b1x2 - b1x1, b1y2 - b1y1 + eps
+        w2, h2 = b2x2 - b2x1, b2y2 - b2y1 + eps
+        union = w1 * h1 + w2 * h2 - inter + eps
+        iou = inter / union
+        cw = jnp.maximum(b1x2, b2x2) - jnp.minimum(b1x1, b2x1)
+        ch = jnp.maximum(b1y2, b2y2) - jnp.minimum(b1y1, b2y1)
+        s_cw = (b2x1 + b2x2 - b1x1 - b1x2) * 0.5
+        s_ch = (b2y1 + b2y2 - b1y1 - b1y2) * 0.5
+        sigma = jnp.sqrt(s_cw ** 2 + s_ch ** 2) + 1e-12
+        sin1 = jnp.abs(s_cw) / sigma
+        sin2 = jnp.abs(s_ch) / sigma
+        thr = 2 ** 0.5 / 2
+        sin_a = jnp.where(sin1 > thr, sin2, sin1)
+        angle = jnp.cos(jnp.arcsin(jnp.clip(sin_a, 0, 1)) * 2
+                        - _math.pi / 2)
+        rho_x = (s_cw / jnp.maximum(cw, eps)) ** 2
+        rho_y = (s_ch / jnp.maximum(ch, eps)) ** 2
+        gamma = angle - 2
+        dist = 2 - jnp.exp(gamma * rho_x) - jnp.exp(gamma * rho_y)
+        ow = jnp.abs(w1 - w2) / jnp.maximum(w1, w2)
+        oh = jnp.abs(h1 - h2) / jnp.maximum(h1, h2)
+        shape = (1 - jnp.exp(-ow)) ** 4 + (1 - jnp.exp(-oh)) ** 4
+        return iou - 0.5 * (dist + shape)
+
+    def _loss(self, pred, targets):
         import optax
 
-        train = mode == "train"
-        preds, hw = self._raw(images, train=train)
-        boxes = self._decode(preds, hw)
-        obj_logits = preds[..., 4]
-        cls_logits = preds[..., 5:]
-        if mode == "infer":
-            return self._predict(boxes, obj_logits, cls_logits, images, None)
-        # simple center-cell assignment: gt center cell is positive
-        from ..ops.boxes import bbox_iou
-
+        B, h, w, _ = pred.shape
+        pobj = pred[..., 0]
+        preg = pred.reshape(B, h * w, -1)[..., 1:5]
+        pcls = pred.reshape(B, h * w, -1)[..., 5:]
         gt, gl, gv = targets["boxes"], targets["labels"], targets["valid"]
-        h, w = hw
-        gcx = (gt[..., 0] + gt[..., 2]) / 2 / self.stride
-        gcy = (gt[..., 1] + gt[..., 3]) / 2 / self.stride
-        cell = (jnp.clip(gcy.astype(jnp.int32), 0, h - 1) * w +
-                jnp.clip(gcx.astype(jnp.int32), 0, w - 1))  # (B, M)
-        B, P = obj_logits.shape
-        obj_t = jax.vmap(lambda c, v: jnp.zeros(P).at[c].max(v.astype(jnp.float32)))(
-            cell, gv)
-        obj_loss = optax.sigmoid_binary_cross_entropy(obj_logits, obj_t).mean() * 10
-        ps = jnp.take_along_axis(boxes, cell[..., None], axis=1)  # (B,M,4)
-        iou = bbox_iou(ps, gt, iou_type="ciou")
-        n_pos = jnp.maximum(gv.sum(), 1.0)
-        box_loss = ((1 - iou) * gv).sum() / n_pos
-        pc = jnp.take_along_axis(cls_logits, cell[..., None], axis=1)
-        onehot = jax.nn.one_hot(gl, self.num_classes)
-        cls_loss = (optax.sigmoid_binary_cross_entropy(pc, onehot).sum(-1)
-                    * gv).sum() / n_pos
-        total = obj_loss + box_loss + cls_loss
-        losses = {"obj_loss": obj_loss, "box_loss": box_loss,
-                  "cls_loss": cls_loss, "loss": total}
+        # gt boxes are NETWORK pixels (letterboxed) — normalize by the
+        # network input dims, not the original image height/width
+        ih = h * self.stride
+        iw = w * self.stride
+        # normalized gt → feature grid units
+        gcx = (gt[..., 0] + gt[..., 2]) / 2 / iw * w
+        gcy = (gt[..., 1] + gt[..., 3]) / 2 / ih * h
+        gw = (gt[..., 2] - gt[..., 0]) / iw * w
+        gh = (gt[..., 3] - gt[..., 1]) / ih * h
+        # 4-quadrant candidates (B, M, 4)
+        qx = jnp.asarray([0, 1, 0, 1])
+        qy = jnp.asarray([0, 0, 1, 1])
+        gx = jnp.floor(gcx)[..., None] + qx
+        gy = jnp.floor(gcy)[..., None] + qy
+        # reference bounds quirk: index-0 cells excluded too (loss :77)
+        ok = (gx > 0) & (gx < w) & (gy > 0) & (gy < h) & gv[..., None]
+        gxi = jnp.clip(gx, 0, w - 1).astype(jnp.int32)
+        gyi = jnp.clip(gy, 0, h - 1).astype(jnp.int32)
+        cell = (gyi * w + gxi).reshape(B, -1)            # (B, 4M)
+        okf = ok.reshape(B, -1)
+        pr = jnp.take_along_axis(preg, cell[..., None], axis=1)
+        pbox = jnp.stack([
+            jnp.tanh(pr[..., 0]) + gxi.reshape(B, -1),
+            jnp.tanh(pr[..., 1]) + gyi.reshape(B, -1),
+            jax.nn.sigmoid(pr[..., 2]) * w,
+            jax.nn.sigmoid(pr[..., 3]) * h], -1)
+        gbox = jnp.stack([gcx, gcy, gw, gh], -1)         # (B, M, 4)
+        gbox4 = jnp.repeat(gbox[:, :, None], 4, 2).reshape(B, -1, 4)
+        iou = self._siou(pbox, gbox4)
+        n_ok = jnp.maximum(okf.sum(), 1.0)
+        iou_mean = (iou * okf).sum() / n_ok
+        keep = okf & (iou > iou_mean)                    # above-mean filter
+        n_keep = jnp.maximum(keep.sum(), 1.0)
+        iou_loss = ((1.0 - iou) * keep).sum() / n_keep
+        # cls: NLL over log-softmax probabilities at kept cells
+        pc = jnp.take_along_axis(pcls, cell[..., None], axis=1)
+        gl4 = jnp.repeat(gl[:, :, None], 4, 2).reshape(B, -1)
+        logp = jnp.log(jnp.clip(
+            jnp.take_along_axis(pc, gl4[..., None], axis=-1)[..., 0],
+            1e-12))
+        cls_loss = -(logp * keep).sum() / n_keep
+        # obj: tobj 1 at kept cells; factor 0.75 baseline, balanced at
+        # positives; BCE-with-logits over the already-sigmoided obj map
+        # (the reference's double-sigmoid, replicated)
+        P = h * w
+        tobj = jax.vmap(lambda c, k: jnp.zeros(P).at[c].max(
+            k.astype(jnp.float32)))(cell, keep)
+        n_img = keep.sum(-1).astype(jnp.float32)         # kept per image
+        fval = jnp.where(n_img > 0, (1.0 / (n_img / P)) * 0.25, 0.75)
+        fmap = jax.vmap(lambda c, k, fv: jnp.full(P, 0.75).at[c].set(
+            jnp.where(k, fv, 0.75)))(cell, keep,
+                                     jnp.broadcast_to(fval[:, None],
+                                                      cell.shape))
+        obj_bce = optax.sigmoid_binary_cross_entropy(
+            pobj.reshape(B, P), tobj)
+        obj_loss = (obj_bce * fmap).mean()
+        total = iou_loss * 8.0 + obj_loss * 16.0 + cls_loss
+        return total, {"box_loss": iou_loss, "obj_loss": obj_loss,
+                       "cls_loss": cls_loss, "loss": total}
+
+    def __call__(self, images, targets=None, mode: str = "infer"):
+        train = mode == "train"
+        pred = self._raw(images, train=train)
+        if mode == "infer":
+            return self._predict(pred, images, None)
+        total, losses = self._loss(pred, targets)
         if mode == "train":
             return total, losses
-        return losses, self._predict(boxes, obj_logits, cls_logits, images,
-                                     targets)
+        return losses, self._predict(pred, images, targets)
 
-    def _predict(self, boxes, obj_logits, cls_logits, images, targets):
+    def _predict(self, pred, images, targets):
         from ..ops.nms import batched_nms
 
-        scores = jax.nn.sigmoid(cls_logits) * \
-            jax.nn.sigmoid(obj_logits)[..., None]
-        best, labels = scores.max(-1), scores.argmax(-1)
+        boxes, scores, labels = self._decode(pred, images)
         h, w = images.shape[1:3]
         boxes = clip_boxes(boxes, h, w)
-        dets = batched_nms(boxes, best, labels, max_det=self.max_det,
+        dets = batched_nms(boxes, scores, labels, max_det=self.max_det,
                            iou_threshold=self.iou_threshold,
                            score_threshold=self.conf_threshold)
-        out = dets["boxes"]
+        out_boxes = dets["boxes"]
         if targets is not None and "pads" in targets:
-            out = unletterbox_boxes(out, targets["pads"][:, None, :],
-                                    targets["scales"][:, None, :])
-        return {**dets, "boxes": out}
+            out_boxes = unletterbox_boxes(
+                out_boxes, targets["pads"][:, None, :],
+                targets["scales"][:, None, :])
+        return {**dets, "boxes": out_boxes}

@@ -1037,3 +1037,90 @@ def test_segformer_head_matches_reference():
     got = model.apply({"params": params, "batch_stats": stats}, feats,
                       train=False)
     _allclose_rel(np.asarray(got).transpose(0, 3, 1, 2), want, atol=1e-4)
+
+
+def test_fastestdet_neck_head_match_reference():
+    """FastestDet neck+head chain vs /root/reference/src/models/necks/
+    fastestdet_neck.py:11-90 + heads/fastestdet_head.py:11-56 (avg-pool/
+    upsample gather, parallel-depth dw5 SPP with residual, per-branch
+    dw5 + 1×1(no bias)+BN heads emitting sigmoid obj / softmax cls)."""
+    import flax.linen as fnn
+
+    from src.models.heads.fastestdet_head import FastestDetHead as RefHead
+    from src.models.necks.fastestdet_neck import FastestDetNeck as RefNeck
+
+    import cvpytorch_tpu.models.backbones as bb_pkg
+    from cvpytorch_tpu.models.yolop import FastestDet
+
+    torch.manual_seed(0)
+    C = 5
+    neck = RefNeck(in_channels=[48, 96, 192], out_channels=96)
+    head = RefHead(num_classes=C, in_channels=96)
+    for m in (neck, head):
+        _randomize_bn(m)
+        m.eval()
+    rng = np.random.RandomState(16)
+    c3 = torch.from_numpy(rng.rand(1, 48, 16, 16).astype(np.float32))
+    c4 = torch.from_numpy(rng.rand(1, 96, 8, 8).astype(np.float32))
+    c5 = torch.from_numpy(rng.rand(1, 192, 4, 4).astype(np.float32))
+    with torch.no_grad():
+        want = head(neck([c3, c4, c5])).numpy()
+
+    sd = {}
+    for mod, pre in ((neck, "neck"), (head, "head")):
+        for k, v in mod.state_dict().items():
+            sd[f"{pre}.{k}"] = v
+
+    def seq(prefix, idx_conv, idx_bn):
+        return ({"conv": {"kernel": sd[f"{prefix}.{idx_conv}.weight"]
+                          .numpy().transpose(2, 3, 1, 0)},
+                 "bn": {"scale": sd[f"{prefix}.{idx_bn}.weight"].numpy(),
+                        "bias": sd[f"{prefix}.{idx_bn}.bias"].numpy()}},
+                {"bn": {"mean": sd[f"{prefix}.{idx_bn}.running_mean"]
+                        .numpy(),
+                        "var": sd[f"{prefix}.{idx_bn}.running_var"]
+                        .numpy()}})
+
+    params, stats = {}, {}
+    params["spp_in"], stats["spp_in"] = seq("neck.SPP.Conv1x1", 0, 1)
+    params["s1_0"], stats["s1_0"] = seq("neck.SPP.S1", 0, 1)
+    params["s2_0"], stats["s2_0"] = seq("neck.SPP.S2", 0, 1)
+    params["s2_1"], stats["s2_1"] = seq("neck.SPP.S2", 3, 4)
+    params["s3_0"], stats["s3_0"] = seq("neck.SPP.S3", 0, 1)
+    params["s3_1"], stats["s3_1"] = seq("neck.SPP.S3", 3, 4)
+    params["s3_2"], stats["s3_2"] = seq("neck.SPP.S3", 6, 7)
+    params["spp_out"], stats["spp_out"] = seq("neck.SPP.output", 0, 1)
+    params["head_in"], stats["head_in"] = seq("head.conv1x1", 0, 1)
+    for ours, theirs in (("obj", "obj_layers"), ("reg", "reg_layers"),
+                         ("cls", "cls_layers")):
+        params[f"{ours}_dw"], stats[f"{ours}_dw"] = \
+            seq(f"head.{theirs}", 0, 1)
+        params[f"{ours}_out"], stats[f"{ours}_out"] = \
+            seq(f"head.{theirs}", 3, 4)
+
+    class _FakeBB(fnn.Module):
+        """Feeds the torch features so only neck+head are compared."""
+
+        @fnn.compact
+        def __call__(self, x, train=False):
+            return (jnp.asarray(c3.numpy().transpose(0, 2, 3, 1)),
+                    jnp.asarray(c4.numpy().transpose(0, 2, 3, 1)),
+                    jnp.asarray(c5.numpy().transpose(0, 2, 3, 1)))
+
+    imgs = jnp.zeros((1, 128, 128, 3))
+    orig_bb = bb_pkg.build_backbone
+    bb_pkg.build_backbone = lambda cfg: _FakeBB()
+    try:
+        model = FastestDet(
+            dictionary=tuple({f"c{i}": 1.0} for i in range(C)))
+        v = model.init(jax.random.PRNGKey(0), imgs, mode="infer")
+        p = dict(v["params"])
+        s = dict(v.get("batch_stats", {}))
+        p.update(params)
+        s.update(stats)
+        got = model.apply({"params": p, "batch_stats": s}, imgs, False,
+                          method=FastestDet._raw)
+    finally:
+        bb_pkg.build_backbone = orig_bb
+    np.testing.assert_allclose(np.asarray(got),
+                               want.transpose(0, 2, 3, 1), atol=5e-5)
