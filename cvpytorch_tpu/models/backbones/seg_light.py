@@ -247,88 +247,122 @@ class TopFormerHead(nn.Module):
 
 
 class _DBlock(nn.Module):
-    """RegSeg dilated group-conv block (reference: regseg_backbone.py)."""
+    """RegSeg D-block (reference regseg_backbone.py:74-124): 1×1 →
+    split-dilated grouped 3×3 (group width 16, BN AFTER the concat) →
+    SE (mid = in_channels//4, the reference's SEModule quirk) → 1×1, all
+    ReLU-joined with an avg-pool/1×1 shortcut."""
 
     out: int
     stride: int = 1
-    dilations: Sequence[int] = (1, 1)
+    dilations: Sequence[int] = (1,)
+    group_width: int = 16
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         in_ch = x.shape[-1]
-        h = ConvBNAct(self.out, 1, act="relu", **_BN, name="reduce")(x, train)
-        g = self.out // len(self.dilations)
+        h = ConvBNAct(self.out, 1, act="relu", **_BN, name="conv1")(x, train)
+        ns = len(self.dilations)
+        temp = self.out // ns
+        groups = temp // self.group_width
         branches = []
         for i, d in enumerate(self.dilations):
-            branches.append(ConvBNAct(
-                g, 3, self.stride, dilation=d, act="relu", **_BN,
-                name=f"dw{i}")(h[..., i * g:(i + 1) * g], train))
+            branches.append(nn.Conv(
+                temp, (3, 3), strides=self.stride, padding=d,
+                kernel_dilation=d, feature_group_count=groups,
+                use_bias=False,
+                name=f"conv2_{i}")(h[..., i * temp:(i + 1) * temp]))
         h = jnp.concatenate(branches, -1)
-        # SE
-        from ..bricks import SqueezeExcite
-
-        h = SqueezeExcite(reduce_ratio=4, gate="sigmoid",
-                          name="se")(h)
-        h = ConvBNAct(self.out, 1, act=None, **_BN, name="expand")(h, train)
+        h = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-5, name="bn2")(h)
+        h = nn.relu(h)
+        # SE: mid = in_channels // 4 (reference SEModule(out, in) quirk)
+        mid = max(in_ch // 4, 1)
+        g = jnp.mean(h, axis=(1, 2), keepdims=True)
+        g = nn.relu(nn.Conv(mid, (1, 1), name="se_fc1")(g))
+        g = jax.nn.sigmoid(nn.Conv(self.out, (1, 1), name="se_fc2")(g))
+        h = h * g
+        h = ConvBNAct(self.out, 1, act=None, **_BN, name="conv3")(h, train)
         if self.stride == 1 and in_ch == self.out:
-            return nn.relu(x + h)
+            return nn.relu(h + x)
         skip = x
-        if self.stride == 2:
-            skip = nn.avg_pool(x, (2, 2), strides=(2, 2))
+        if self.stride != 1:
+            # AvgPool2d(2,2,ceil_mode=True)
+            B, H, W, C = skip.shape
+            ph, pw = H % 2, W % 2
+            if ph or pw:
+                skip = jnp.pad(skip, ((0, 0), (0, ph), (0, pw), (0, 0)))
+            skip = nn.avg_pool(skip, (2, 2), strides=(2, 2))
         skip = ConvBNAct(self.out, 1, act=None, **_BN,
-                         name="skip")(skip, train)
-        return nn.relu(skip + h)
+                         name="shortcut")(skip, train)
+        return nn.relu(h + skip)
 
 
 @BACKBONES.register(name="RegSegBackbone", aliases=("RegSeg_bb",))
 class RegSegBackbone(nn.Module):
-    """exp48_decoder26 layout (reference: regseg_backbone.py)."""
+    """exp48_decoder26 (reference regseg_backbone.py:119-163): stem/2,
+    stage1 48/4, stage2 128/8 ×3, stage3 /16 = 14 blocks with the
+    dilation schedule [1], [1,2], 4×[1,4], 7×[1,14] ending at 320."""
 
     subtype: str = "exp48"
-    out_stages: Sequence[int] = (2, 3, 4)
+    out_stages: Sequence[int] = (1, 2, 3)
     classifier: bool = False
     num_classes: int = 1000
     pretrained: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        # accept the legacy (2,3,4) numbering too
+        stages = tuple(s - 1 for s in self.out_stages) \
+            if min(self.out_stages) >= 2 else tuple(self.out_stages)
         x = ConvBNAct(32, 3, 2, act="relu", **_BN, name="stem")(x, train)
-        x = _DBlock(48, stride=2, name="s1")(x, train)             # /4
         feats = []
-        x = _DBlock(128, stride=2, name="s2_0")(x, train)          # /8
+        x = _DBlock(48, stride=2, name="stage1")(x, train)          # /4
+        if 1 in stages:
+            feats.append(x)
+        x = _DBlock(128, stride=2, name="stage2_0")(x, train)       # /8
         for i in range(2):
-            x = _DBlock(128, name=f"s2_{i+1}")(x, train)
-        feats.append(x)
-        x = _DBlock(256, stride=2, name="s3_0")(x, train)          # /16
-        dil = [(1, 1), (1, 2), (1, 4), (1, 14)]
-        for i, d in enumerate(dil):
-            x = _DBlock(256, dilations=d, name=f"s3_{i+1}")(x, train)
-        feats.append(x)
-        x = _DBlock(320, dilations=(1, 14), stride=2, name="s4_0")(x, train)
-        feats.append(x)                                            # /32
+            x = _DBlock(128, name=f"stage2_{i + 1}")(x, train)
+        if 2 in stages:
+            feats.append(x)
+        ds = [[1], [1, 2]] + 4 * [[1, 4]] + 7 * [[1, 14]]
+        x = _DBlock(256, stride=2, name="stage3_0")(x, train)       # /16
+        for i, d in enumerate(ds[:-1]):
+            x = _DBlock(256, dilations=tuple(d),
+                        name=f"stage3_{i + 1}")(x, train)
+        x = _DBlock(320, dilations=tuple(ds[-1]),
+                    name=f"stage3_{len(ds)}")(x, train)
+        if 3 in stages:
+            feats.append(x)
         if self.classifier:
             return nn.Dense(self.num_classes, name="fc")(
                 jnp.mean(x, axis=(1, 2)))
-        return tuple(feats[i - 2] for i in self.out_stages)
+        return tuple(feats)
 
 
 @HEADS.register(name="RegSegHead")
 class RegSegHead(nn.Module):
-    """decoder26 (reference: heads/seg/regseg_head.py)."""
+    """decoder26 (reference heads/seg/regseg_head.py:15-49): inputs are
+    (x4, x8, x16); 1×1 embeds (8/128/128 ch), top-down adds, 3×3 fuses,
+    dropout + classifier."""
 
     num_classes: int = 19
     channels: int = 64
+    mid_channels: Sequence[int] = (8, 128)
     dropout: float = 0.1
 
     @nn.compact
     def __call__(self, feats, train: bool = False):
-        c8, c16, c32 = feats
-        y32 = ConvBNAct(128, 1, act="relu", **_BN, name="p32")(c32, train)
-        y16 = ConvBNAct(128, 1, act="relu", **_BN, name="p16")(c16, train)
-        y16 = y16 + resize_bilinear(y32, y16.shape[1:3])
-        y16 = ConvBNAct(64, 3, act="relu", **_BN, name="f16")(y16, train)
-        y8 = ConvBNAct(8, 1, act="relu", **_BN, name="p8")(c8, train)
-        y = jnp.concatenate([y8, resize_bilinear(y16, y8.shape[1:3])], -1)
-        y = ConvBNAct(self.channels, 3, act="relu", **_BN, name="fuse")(y, train)
-        y = nn.Dropout(self.dropout, deterministic=not train)(y)
-        return nn.Conv(self.num_classes, (1, 1), name="cls")(y)
+        x4, x8, x16 = feats
+        m4, m8 = self.mid_channels
+        y16 = ConvBNAct(m8, 1, act="relu", **_BN, name="head16")(x16, train)
+        y8 = ConvBNAct(m8, 1, act="relu", **_BN, name="head8")(x8, train)
+        y4 = ConvBNAct(m4, 1, act="relu", **_BN, name="head4")(x4, train)
+        y8 = y8 + resize_bilinear(y16, y8.shape[1:3])
+        y8 = ConvBNAct(self.channels, 3, act="relu", **_BN,
+                       name="conv8")(y8, train)
+        y4 = jnp.concatenate([resize_bilinear(y8, y4.shape[1:3]), y4], -1)
+        y4 = ConvBNAct(self.channels, 3, act="relu", **_BN,
+                       name="conv4")(y4, train)
+        y4 = nn.Dropout(self.dropout, deterministic=not train)(y4)
+        return nn.Conv(self.num_classes, (1, 1), name="cls")(y4)
+

@@ -1124,3 +1124,116 @@ def test_fastestdet_neck_head_match_reference():
         bb_pkg.build_backbone = orig_bb
     np.testing.assert_allclose(np.asarray(got),
                                want.transpose(0, 2, 3, 1), atol=5e-5)
+
+
+def test_regseg_backbone_and_head_match_reference():
+    """RegSeg exp48_decoder26 vs /root/reference/src/models/backbones/
+    seg/regseg_backbone.py:20-163 + heads/seg/regseg_head.py:15-49 —
+    D-blocks with group-width-16 split-dilated convs (BN after concat),
+    the SEModule mid=in//4 quirk, avg-pool shortcuts, the full 14-block
+    stage3 dilation schedule, and the x4/x8/x16 decoder."""
+    from src.models.backbones.seg.regseg_backbone import (
+        RegSegBackbone as RefBB)
+    from src.models.heads.seg.regseg_head import RegSegHead as RefHead
+
+    from cvpytorch_tpu.models.backbones.seg_light import (RegSegBackbone,
+                                                          RegSegHead)
+
+    torch.manual_seed(0)
+    bb = RefBB("")
+    head = RefHead(num_classes=7, in_channels=[48, 128, 320], channels=64)
+    for m in (bb, head):
+        _randomize_bn(m)
+        m.eval()
+    x = np.random.RandomState(17).rand(1, 3, 64, 64).astype(np.float32)
+    with torch.no_grad():
+        feats_ref = bb(to_torch(x))
+        want = head(feats_ref).numpy()
+
+    sd = {}
+    for mod, pre in ((bb, "bb"), (head, "head")):
+        for k, v in mod.state_dict().items():
+            sd[f"{pre}.{k}"] = v
+
+    def conv(prefix):
+        p = {"kernel": sd[f"{prefix}.weight"].numpy().transpose(2, 3, 1, 0)}
+        if f"{prefix}.bias" in sd:
+            p["bias"] = sd[f"{prefix}.bias"].numpy()
+        return p
+
+    def bnp(prefix):
+        return ({"scale": sd[f"{prefix}.weight"].numpy(),
+                 "bias": sd[f"{prefix}.bias"].numpy()},
+                {"mean": sd[f"{prefix}.running_mean"].numpy(),
+                 "var": sd[f"{prefix}.running_var"].numpy()})
+
+    def cmod(prefix):   # ConvModule conv/bn
+        p = {"conv": conv(f"{prefix}.conv")}
+        bnP, bnS = bnp(f"{prefix}.bn")
+        p["bn"] = bnP
+        return p, {"bn": bnS}
+
+    def dblock(prefix, n_dil):
+        p, st = {}, {}
+        p["conv1"] = {"conv": conv(f"{prefix}.conv1")}
+        b, bs = bnp(f"{prefix}.bn1")
+        p["conv1"]["bn"], st["conv1"] = b, {"bn": bs}
+        if n_dil == 1:
+            p["conv2_0"] = conv(f"{prefix}.conv2")
+        else:
+            for i in range(n_dil):
+                p[f"conv2_{i}"] = conv(f"{prefix}.conv2.convs.{i}")
+        b, bs = bnp(f"{prefix}.bn2")
+        p["bn2"], st["bn2"] = b, bs
+        p["se_fc1"] = conv(f"{prefix}.se.se.1")
+        p["se_fc2"] = conv(f"{prefix}.se.se.3")
+        p["conv3"] = {"conv": conv(f"{prefix}.conv3")}
+        b, bs = bnp(f"{prefix}.bn3")
+        p["conv3"]["bn"], st["conv3"] = b, {"bn": bs}
+        if f"{prefix}.shortcut.conv.weight" in sd:
+            p["shortcut"] = {"conv": conv(f"{prefix}.shortcut.conv")}
+            b, bs = bnp(f"{prefix}.shortcut.bn")
+            p["shortcut"]["bn"], st["shortcut"] = b, {"bn": bs}
+        return p, st
+
+    params, stats = {}, {}
+    p, st = cmod("bb.stem")
+    params["stem"], stats["stem"] = p, st
+    p, st = dblock("bb.stage1", 1)
+    params["stage1"], stats["stage1"] = p, st
+    for j in range(3):
+        p, st = dblock(f"bb.stage2.{j}", 1)
+        params[f"stage2_{j}"], stats[f"stage2_{j}"] = p, st
+    ds = [[1], [1, 2]] + 4 * [[1, 4]] + 7 * [[1, 14]]
+    p, st = dblock("bb.stage3.0", 1)
+    params["stage3_0"], stats["stage3_0"] = p, st
+    for i, d in enumerate(ds):
+        p, st = dblock(f"bb.stage3.{i + 1}", len(d))
+        params[f"stage3_{i + 1}"], stats[f"stage3_{i + 1}"] = p, st
+
+    hp, hs = {}, {}
+    for ours, theirs in (("head4", "head4"), ("head8", "head8"),
+                         ("head16", "head16"), ("conv8", "conv8"),
+                         ("conv4", "conv4")):
+        p, st = cmod(f"head.{theirs}")
+        hp[ours], hs[ours] = p, st
+    hp["cls"] = conv("head.cls_seg")
+
+    model_bb = RegSegBackbone()
+    xs = jnp.asarray(x.transpose(0, 2, 3, 1))
+    v = model_bb.init(jax.random.PRNGKey(0), xs)
+    errs = verify_tree_shapes(params, dict(v["params"]))
+    assert not errs, errs
+    feats = model_bb.apply({"params": params, "batch_stats": stats}, xs,
+                           train=False)
+    for got, w in zip(feats, feats_ref):
+        _allclose_rel(np.asarray(got).transpose(0, 3, 1, 2), w.numpy(),
+                      atol=1e-4)
+
+    model_h = RegSegHead(num_classes=7, channels=64)
+    vh = model_h.init(jax.random.PRNGKey(0), feats)
+    errs = verify_tree_shapes(hp, dict(vh["params"]))
+    assert not errs, errs
+    got = model_h.apply({"params": hp, "batch_stats": hs}, feats,
+                        train=False)
+    _allclose_rel(np.asarray(got).transpose(0, 3, 1, 2), want, atol=1e-4)
