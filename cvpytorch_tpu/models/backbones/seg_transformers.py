@@ -259,6 +259,10 @@ class _IncepAttention(nn.Module):
     dim: int
     heads: int
     down_ratio: int
+    # the reference ctor passes qk_scale=True, and `qk_scale or hd**-0.5`
+    # evaluates to True ⇒ the attention scale is literally 1.0 upstream
+    # (incep_transformer.py:71,236) — replicated for parity
+    scale: float = 1.0
 
     @nn.compact
     def __call__(self, x, train: bool = False):  # x: (B, H, W, C)
@@ -291,7 +295,7 @@ class _IncepAttention(nn.Module):
         v = v.reshape(B, -1, self.heads, hd).transpose(0, 2, 1, 3)
         attn = jax.nn.softmax(
             jnp.einsum("bhnd,bhmd->bhnm", q, k,
-                       preferred_element_type=jnp.float32) / jnp.sqrt(hd), -1)
+                       preferred_element_type=jnp.float32) * self.scale, -1)
         out = jnp.einsum("bhnm,bhmd->bhnd", attn.astype(v.dtype), v)
         out = out.transpose(0, 2, 1, 3).reshape(B, N, self.dim)
         out = nn.Dense(self.dim, use_bias=True, name="proj")(out)

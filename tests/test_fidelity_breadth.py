@@ -1237,3 +1237,87 @@ def test_regseg_backbone_and_head_match_reference():
     got = model_h.apply({"params": hp, "batch_stats": hs}, feats,
                         train=False)
     _allclose_rel(np.asarray(got).transpose(0, 3, 1, 2), want, atol=1e-4)
+
+
+def test_incepformer_backbone_matches_reference():
+    """IncepFormer ipt_t vs /root/reference/src/models/backbones/seg/
+    incep_transformer.py:16-324 — inception K/V pooling (separable strided
+    dw, square dw, avg-pool+dw3), BN block norms, conv-MLP with GELU
+    after every conv, and the upstream qk_scale=True quirk (`qk_scale or
+    hd**-0.5` is True ⇒ attention scale is literally 1.0), replicated."""
+    from src.models.backbones.seg.incep_transformer import (
+        IncepTransformer as RefIPT)
+
+    from cvpytorch_tpu.models.backbones.seg_transformers import (
+        IncepTransformer)
+
+    torch.manual_seed(0)
+    ref = RefIPT(subtype="ipt_t", out_channels=[64, 128, 320, 512],
+                 depths=[2, 2, 4, 2], out_stages=[1, 2, 3, 4])
+    _randomize_bn(ref)
+    ref.eval()
+    x = np.random.RandomState(18).rand(1, 3, 64, 64).astype(np.float32)
+    with torch.no_grad():
+        want = [o.numpy() for o in ref(to_torch(x))]
+
+    sd = ref.state_dict()
+
+    def conv(prefix):
+        p = {"kernel": sd[f"{prefix}.weight"].numpy().transpose(2, 3, 1, 0)}
+        if f"{prefix}.bias" in sd:
+            p["bias"] = sd[f"{prefix}.bias"].numpy()
+        return p
+
+    def bnp(prefix):
+        return ({"scale": sd[f"{prefix}.weight"].numpy(),
+                 "bias": sd[f"{prefix}.bias"].numpy()},
+                {"mean": sd[f"{prefix}.running_mean"].numpy(),
+                 "var": sd[f"{prefix}.running_var"].numpy()})
+
+    params, stats = {}, {}
+    depths = (2, 2, 4, 2)
+    for i in range(4):
+        r = i + 1
+        C = (64, 128, 320, 512)[i]
+        params[f"patch_embed{r}"] = conv(f"patch_embed{r}.proj")
+        b, bs = bnp(f"patch_embed{r}.norm")
+        params[f"embed_norm{r}"], stats[f"embed_norm{r}"] = b, bs
+        b, bs = bnp(f"norm{r}")
+        params[f"norm{r}"], stats[f"norm{r}"] = b, bs
+        for j in range(depths[i]):
+            bref = f"block{r}.{j}"
+            blk, bst = {}, {}
+            b, bs = bnp(f"{bref}.norm1")
+            blk["norm1"], bst["norm1"] = b, bs
+            b, bs = bnp(f"{bref}.norm2")
+            blk["norm2"], bst["norm2"] = b, bs
+            kvw = sd[f"{bref}.attn.kv.weight"].numpy()
+            kvb = sd[f"{bref}.attn.kv.bias"].numpy()
+            at = {
+                "q": _dense(sd, f"{bref}.attn.q"),
+                "kv": {"kernel": kvw.T, "bias": kvb},
+                "proj": _dense(sd, f"{bref}.attn.proj"),
+            }
+            if f"{bref}.attn.conv1.0.weight" in sd:
+                at["conv1a"] = conv(f"{bref}.attn.conv1.0")
+                at["conv1b"] = conv(f"{bref}.attn.conv1.1")
+                at["conv2"] = conv(f"{bref}.attn.conv2.0")
+                at["dwconv"] = conv(f"{bref}.attn.dwConv.dwconv")
+                at["norm"] = _ln(sd, f"{bref}.attn.norm")
+            blk["attn"] = at
+            blk["mlp"] = {
+                "fc1": conv(f"{bref}.mlp.fc1"),
+                "dwconv": conv(f"{bref}.mlp.dwconv.dwconv"),
+                "fc2": conv(f"{bref}.mlp.fc2"),
+            }
+            params[f"block{r}_{j}"], stats[f"block{r}_{j}"] = blk, bst
+
+    model = IncepTransformer(subtype="ipt_t", out_stages=(1, 2, 3, 4))
+    xs = jnp.asarray(x.transpose(0, 2, 3, 1))
+    variables = model.init(jax.random.PRNGKey(0), xs)
+    errs = verify_tree_shapes(params, dict(variables["params"]))
+    assert not errs, errs
+    feats = model.apply({"params": params, "batch_stats": stats}, xs,
+                        train=False)
+    for got, w in zip(feats, want):
+        _allclose_rel(np.asarray(got).transpose(0, 3, 1, 2), w, atol=1e-4)
