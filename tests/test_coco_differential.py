@@ -210,3 +210,62 @@ def test_segm_mask_iou_matmul_path():
             denom = dm[d].sum() if crowd[g] else \
                 dm[d].sum() + gm[g].sum() - inter
             assert got[d, g] == pytest.approx(inter / max(denom, 1e-9))
+
+
+def test_oks_multi_instance_matching_with_crowd():
+    """Multi-person OKS matching incl. a crowd GT (VERDICT r2 weak #8):
+    two real people + one crowd annotation; the two good detections must
+    match their own GTs at high OKS, and a third stray detection must
+    ignore-match the crowd instead of counting as a false positive."""
+    from cvpytorch_tpu.evaluator.coco import COCOEvalNative
+
+    K = 17
+    rng = np.random.default_rng(3)
+
+    def person(cx, cy):
+        k = np.zeros((K, 3))
+        k[:, 0] = cx + rng.uniform(-20, 20, K)
+        k[:, 1] = cy + rng.uniform(-40, 40, K)
+        k[:, 2] = 2
+        return k
+
+    g1, g2 = person(60, 80), person(200, 90)
+    crowd_k = np.zeros((K, 3))          # crowd: no labeled keypoints
+    gt_kpts = np.stack([g1, g2, crowd_k])
+    gt_boxes = np.array([[20, 20, 100, 140], [160, 30, 240, 150],
+                         [0, 160, 300, 260]], float)
+    gt_crowd = np.array([False, False, True])
+
+    d1 = g1.copy()
+    d1[:, :2] += rng.normal(0, 1.0, (K, 2))   # near-perfect
+    d2 = g2.copy()
+    d2[:, :2] += rng.normal(0, 1.0, (K, 2))
+    stray = np.zeros((K, 3))
+    stray[:, 0] = rng.uniform(50, 250, K)
+    stray[:, 1] = rng.uniform(170, 250, K)    # inside the crowd region
+    stray[:, 2] = 2
+    det_kpts = np.stack([d1, d2, stray])
+    det_boxes = np.array([[20, 20, 100, 140], [160, 30, 240, 150],
+                          [40, 160, 260, 255]], float)
+
+    # the stray scores HIGHEST so an FP verdict would depress AP
+    ev = COCOEvalNative(1, "keypoints")
+    ev.add_image(gt_boxes, np.zeros(3, int), det_boxes,
+                 np.array([0.9, 0.8, 0.95]), np.zeros(3, int),
+                 gt_crowd=gt_crowd, gt_kpts=gt_kpts, det_kpts=det_kpts,
+                 gt_ann_areas=np.array([4000.0, 4000.0, 20000.0]))
+    stats = ev.summarize()
+    # both real people recalled at OKS .5; the stray is crowd-ignored,
+    # not an FP, so precision stays perfect
+    assert stats["mAP"] > 0.8, stats
+    assert stats["Recall_20"] == pytest.approx(1.0), stats
+
+    # control: same scene WITHOUT the crowd ann → the stray becomes a
+    # real false positive and AP drops
+    ev2 = COCOEvalNative(1, "keypoints")
+    ev2.add_image(gt_boxes[:2], np.zeros(2, int), det_boxes,
+                  np.array([0.9, 0.8, 0.95]), np.zeros(3, int),
+                  gt_kpts=gt_kpts[:2], det_kpts=det_kpts,
+                  gt_ann_areas=np.array([4000.0, 4000.0]))
+    assert ev2.summarize()["mAP"] < stats["mAP"], \
+        (ev2.summarize()["mAP"], stats["mAP"])
