@@ -1321,3 +1321,73 @@ def test_incepformer_backbone_matches_reference():
                         train=False)
     for got, w in zip(feats, want):
         _allclose_rel(np.asarray(got).transpose(0, 3, 1, 2), w, atol=1e-4)
+
+
+def test_lspnet_matches_reference():
+    """LSPNet backbone+head vs /root/reference/src/models/backbones/
+    lspnet_backbone.py:13-97 + heads/lspnet_head.py:12-35 — two BaseNet
+    paths at align_corners=True resized resolutions, bi-directional
+    interaction after stages 2 and 3, concat 1×1 classifier."""
+    from src.models.backbones.lspnet_backbone import (
+        LSPNetBackbone as RefBB)
+    from src.models.heads.lspnet_head import LSPNetHead as RefHead
+
+    from cvpytorch_tpu.models.light_seg3 import LSPNet
+
+    torch.manual_seed(0)
+    bb = RefBB(resolutions=[0.75, 0.25], depths=[1, 3, 3, 10, 10],
+               channels=[8, 24, 48, 96, 96])
+    head = RefHead(num_classes=7, channels=[8, 24, 48, 96, 96])
+    for m in (bb, head):
+        _randomize_bn(m)
+        m.eval()
+    x = np.random.RandomState(19).rand(1, 3, 64, 64).astype(np.float32)
+    with torch.no_grad():
+        want = head(bb(to_torch(x))).numpy()
+
+    sd = {}
+    for mod, pre in ((bb, "bb"), (head, "head")):
+        for k, v in mod.state_dict().items():
+            sd[f"{pre}.{k}"] = v
+
+    params, stats = {}, {}
+    depths = (1, 3, 3, 10, 10)
+    for net in ("high_net", "low_net"):
+        p, st = {}, {}
+        for si, d in enumerate(depths):
+            for i in range(d):
+                pre = f"bb.{net}.stages.{si}.{i}"
+                p[f"stage{si}_{i}"] = {
+                    "conv": {"kernel": sd[f"{pre}.conv.weight"].numpy()
+                             .transpose(2, 3, 1, 0)},
+                    "bn": {"scale": sd[f"{pre}.bn.weight"].numpy(),
+                           "bias": sd[f"{pre}.bn.bias"].numpy()}}
+                st[f"stage{si}_{i}"] = {
+                    "bn": {"mean": sd[f"{pre}.bn.running_mean"].numpy(),
+                           "var": sd[f"{pre}.bn.running_var"].numpy()}}
+        params[net], stats[net] = p, st
+    params["classifier"] = {
+        "kernel": sd["head.classifier.weight"].numpy()
+        .transpose(2, 3, 1, 0),
+        "bias": sd["head.classifier.bias"].numpy()}
+
+    model = LSPNet(dictionary=tuple({f"c{i}": 1.0} for i in range(7)),
+                   model_cfg={"TYPE": "lspnet_s"})
+    xs = jnp.asarray(x.transpose(0, 2, 3, 1))
+    variables = model.init(jax.random.PRNGKey(0), xs, mode="infer")
+    errs = verify_tree_shapes(params, dict(variables["params"]))
+    assert not errs, errs
+    # compare pre-upsample logits: run infer and downres?  simpler —
+    # reference head output is at the high path's resolution; our model
+    # upsamples to input before argmax, so compare the classifier input
+    # chain by replicating the final upsample on the reference side
+    import torch.nn.functional as TF
+
+    with torch.no_grad():
+        want_up = TF.interpolate(torch.from_numpy(want), size=(64, 64),
+                                 mode="bilinear",
+                                 align_corners=False).numpy()
+    ld, seg = model.apply({"params": params, "batch_stats": stats}, xs,
+                          jnp.zeros((1, 64, 64), jnp.int32), mode="val")
+    np.testing.assert_array_equal(
+        np.asarray(seg)[0], want_up.argmax(1)[0])
