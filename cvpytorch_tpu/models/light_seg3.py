@@ -130,46 +130,193 @@ class LSPNet(nn.Module):
                 xl + resize_align_corners(xh, xl.shape[1:3]))
 
 
+class _SGCPSe(nn.Module):
+    """SE with BN'd 1×1 convs + hard-sigmoid (sgcpnet_backbone.py:12-25)."""
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c = x.shape[-1]
+        g = jnp.mean(x, axis=(1, 2), keepdims=True)
+        g = nn.Conv(c // 4, (1, 1), use_bias=False, name="fc1")(g)
+        g = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-5, name="bn1")(g)
+        g = nn.relu(g)
+        g = nn.Conv(c, (1, 1), use_bias=False, name="fc2")(g)
+        g = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-5, name="bn2")(g)
+        return x * jnp.clip((g + 3.0) / 6.0, 0.0, 1.0)   # hardsigmoid
+
+
+def _hswish(x):
+    return x * jnp.clip((x + 3.0) / 6.0, 0.0, 1.0)
+
+
+class _SGCPBlock(nn.Module):
+    """MobileNetV3-style inverted residual (sgcpnet_backbone.py:28-58):
+    shortcut whenever stride==1 (1×1+BN projection if channels differ)."""
+
+    k: int
+    expand: int
+    out: int
+    act: str          # 'relu' | 'hswish'
+    se: bool
+    stride: int
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        act = nn.relu if self.act == "relu" else _hswish
+        bn = lambda nm: nn.BatchNorm(  # noqa: E731
+            use_running_average=not train, momentum=0.9, epsilon=1e-5,
+            name=nm)
+        h = act(bn("bn1")(nn.Conv(self.expand, (1, 1), use_bias=False,
+                                  name="conv1")(x)))
+        h = act(bn("bn2")(nn.Conv(self.expand, (self.k, self.k),
+                                  strides=self.stride,
+                                  padding=self.k // 2,
+                                  feature_group_count=self.expand,
+                                  use_bias=False, name="conv2")(h)))
+        h = bn("bn3")(nn.Conv(self.out, (1, 1), use_bias=False,
+                              name="conv3")(h))
+        if self.se:
+            h = _SGCPSe(name="se")(h, train)
+        if self.stride == 1:
+            sc = x
+            if x.shape[-1] != self.out:
+                sc = bn("sc_bn")(nn.Conv(self.out, (1, 1), use_bias=False,
+                                         name="sc_conv")(x))
+            h = h + sc
+        return h
+
+
+# (k, expand, out, act, se, stride) rows per stage
+_SGCP_STAGES = (
+    ((3, 16, 16, "relu", True, 2),),
+    ((3, 72, 24, "relu", False, 2), (3, 88, 24, "relu", False, 1)),
+    ((5, 96, 40, "hswish", True, 2), (5, 240, 40, "hswish", True, 1),
+     (5, 240, 40, "hswish", True, 1), (5, 120, 48, "hswish", True, 1),
+     (5, 144, 48, "hswish", True, 1)),
+    ((5, 288, 96, "hswish", True, 2), (5, 576, 96, "hswish", True, 1),
+     (5, 576, 96, "hswish", True, 1)),
+)
+
+
 @MODELS.register(name="SGCPNet")
 class SGCPNet(nn.Module):
-    """Spatial-guided context-path net on MobileNetV3
-    (reference: sgcpnet.py:24)."""
+    """SGCPNet (reference sgcpnet.py:24-74 + sgcpnet_backbone.py:60-140 +
+    sgcpnet_head.py:14-202): MobileNetV3-small-style backbone (out
+    stages /8 /16 /32) and a double-pass weighted-fusion head — 1×1
+    shrinks, effdet-style P6/P7 synthesis, relu-weight fast-attention
+    sums with swish, act-free DepthwiseConvModules (BN momentum 0.01 →
+    flax 0.99, eps 1e-3), second top-down pass, classifier at P3,
+    bilinear upsample to input."""
 
     dictionary: Sequence[Any] = ()
     model_cfg: Any = None
+    shrink_channels: Sequence[int] = (40, 112, 320)  # conf values
+    mid_channels: int = 64
 
     def setup(self):
         names, weights = dictionary_to_names_weights(list(self.dictionary))
         self.num_classes = len(names)
         self._w = tuple(weights)
-        cfg = self.model_cfg or {}
-        get = cfg.get if hasattr(cfg, "get") else (lambda k, d=None: d)
-        bb = get("BACKBONE") or {"name": "MobileNetV3",
-                                 "subtype": "mobilenet_v3_small"}
-        self.backbone = build_backbone(
-            dict(bb.items()) if hasattr(bb, "items") else bb)
 
     @nn.compact
     def __call__(self, images, targets=None, mode: str = "infer"):
         train = mode == "train"
-        feats = self.backbone(images, train=train)
-        c8, c16, c32 = feats[-3], feats[-2], feats[-1]
-        # spatial path: shallow strided convs at /8
-        sp = images
-        for i, ch in enumerate((16, 32, 64)):
-            sp = ConvBNAct(ch, 3, 2, act="relu", **_BN,
-                           name=f"sp{i}")(sp, train)
-        # context path: global-context-boosted deep features
-        g = jnp.mean(c32, axis=(1, 2), keepdims=True)
-        c32 = c32 * nn.sigmoid(
-            nn.Conv(c32.shape[-1], (1, 1), name="gc")(g))
-        ctx = ConvBNAct(64, 1, act="relu", **_BN, name="p32")(c32, train)
-        ctx = resize_bilinear(ctx, c16.shape[1:3]) + \
-            ConvBNAct(64, 1, act="relu", **_BN, name="p16")(c16, train)
-        ctx = resize_bilinear(ctx, sp.shape[1:3]) + \
-            ConvBNAct(64, 1, act="relu", **_BN, name="p8")(c8, train)
-        f = jnp.concatenate([sp, ctx], -1)
-        f = ConvBNAct(64, 3, act="relu", **_BN, name="fuse")(f, train)
-        logits = nn.Conv(self.num_classes, (1, 1), name="head")(f)
+        bn99 = dict(momentum=0.99, epsilon=1e-3)
+        # -- backbone ----------------------------------------------------
+        x = nn.Conv(16, (3, 3), strides=2, padding=1, use_bias=False,
+                    name="stem_conv")(images)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-5, name="stem_bn")(x)
+        x = _hswish(x)
+        feats = []
+        for si, rows in enumerate(_SGCP_STAGES):
+            for bi, (k, e, o, a, se, st) in enumerate(rows):
+                x = _SGCPBlock(k, e, o, a, se, st,
+                               name=f"stage{si + 1}_{bi}")(x, train)
+            if si >= 1:
+                feats.append(x)                    # /8, /16, /32
+        p3, p4, p5 = feats
+
+        # -- head --------------------------------------------------------
+        sc = self.shrink_channels
+        mid = self.mid_channels
+        p3 = nn.Conv(sc[0], (1, 1), use_bias=True, name="shrink3")(p3)
+        p4 = nn.Conv(sc[1], (1, 1), use_bias=True, name="shrink4")(p4)
+        p5 = nn.Conv(sc[2], (1, 1), use_bias=True, name="shrink5")(p5)
+
+        def convbn(ch, name):
+            def f(v):
+                v = nn.Conv(ch, (1, 1), use_bias=True,
+                            name=f"{name}_conv")(v)
+                return nn.BatchNorm(use_running_average=not train, **bn99,
+                                    name=f"{name}_bn")(v)
+            return f
+
+        def maxpool(v):
+            return nn.max_pool(v, (3, 3), strides=(2, 2),
+                               padding=((1, 1), (1, 1)))
+
+        def dwmod(name):
+            def f(v):
+                c = v.shape[-1]
+                v = nn.Conv(c, (3, 3), padding=1, feature_group_count=c,
+                            use_bias=False, name=f"{name}_dw")(v)
+                v = nn.BatchNorm(use_running_average=not train, **bn99,
+                                 name=f"{name}_dwbn")(v)
+                v = nn.Conv(c, (1, 1), use_bias=False,
+                            name=f"{name}_pw")(v)
+                return nn.BatchNorm(use_running_average=not train, **bn99,
+                                    name=f"{name}_pwbn")(v)
+            return f
+
+        def up_to(v, ref):
+            # the reference uses size-targeted nn.Upsample(nearest)
+            if v.shape[1:3] == ref.shape[1:3]:
+                return v
+            return jax.image.resize(
+                v, (v.shape[0], ref.shape[1], ref.shape[2], v.shape[3]),
+                "nearest")
+
+        def wsum(name, parts, n):
+            w = jax.nn.relu(self.param(name, nn.initializers.ones, (n,)))
+            w = w / (w.sum() + 1e-4)
+            s = sum(w[i] * p for i, p in enumerate(parts))
+            return s * jax.nn.sigmoid(s)           # swish
+
+        p6_in = maxpool(convbn(mid, "p5_to_p6")(p5))
+        p7_in = maxpool(p6_in)
+        p3_in = convbn(mid, "p3_dc")(p3)
+        p4_in = convbn(mid, "p4_dc")(p4)
+        p5_in = convbn(mid, "p5_dc")(p5)
+
+        p6_up = dwmod("conv6_up")(wsum("p6_w1", [p6_in, up_to(p7_in, p6_in)], 2))
+        p5_up = dwmod("conv5_up")(wsum("p5_w1", [p5_in, up_to(p6_up, p5_in)], 2))
+        p4_up = dwmod("conv4_up")(wsum("p4_w1", [p4_in, up_to(p5_up, p4_in)], 2))
+        p3_out = dwmod("conv3_up")(wsum("p3_w1", [p3_in, up_to(p4_up, p3_in)], 2))
+
+        p4_in = convbn(mid, "p4_dc2")(p4)
+        p5_in = convbn(mid, "p5_dc2")(p5)
+
+        p4_out = dwmod("conv4_down")(wsum(
+            "p4_w2", [p4_in, up_to(p4_up, p4_in),
+                      up_to(maxpool(p3_out), p4_in)], 3))
+        p5_out = dwmod("conv5_down")(wsum(
+            "p5_w2", [p5_in, up_to(p5_up, p5_in),
+                      up_to(maxpool(p4_out), p5_in)], 3))
+        p6_out = dwmod("conv6_down")(wsum(
+            "p6_w2", [p6_in, up_to(p6_up, p6_in),
+                      up_to(maxpool(p5_out), p6_in)], 3))
+        p7_out = dwmod("conv7_down")(wsum(
+            "p7_w2", [p7_in, up_to(maxpool(p6_out), p7_in)], 2))
+
+        p6_up = dwmod("conv6_up2")(wsum("p6_w1_2", [p6_out, up_to(p7_out, p6_out)], 2))
+        p5_up = dwmod("conv5_up2")(wsum("p5_w1_2", [p5_out, up_to(p6_up, p5_out)], 2))
+        p4_up = dwmod("conv4_up2")(wsum("p4_w1_2", [p4_out, up_to(p5_up, p4_out)], 2))
+        p3_fin = dwmod("conv3_up2")(wsum("p3_w1_2", [p3_out, up_to(p4_up, p3_out)], 2))
+
+        logits = nn.Conv(self.num_classes, (1, 1), use_bias=True,
+                         name="classifier")(p3_fin)
         logits = resize_bilinear(logits, images.shape[1:3])
         return _seg_out(logits, targets, mode, self._w)

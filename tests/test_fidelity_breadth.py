@@ -1391,3 +1391,115 @@ def test_lspnet_matches_reference():
                           jnp.zeros((1, 64, 64), jnp.int32), mode="val")
     np.testing.assert_array_equal(
         np.asarray(seg)[0], want_up.argmax(1)[0])
+
+
+def test_sgcpnet_matches_reference():
+    """SGCPNet backbone+head vs /root/reference/src/models/backbones/
+    sgcpnet_backbone.py:12-140 + heads/sgcpnet_head.py:14-202 — MBv3
+    blocks (stride-1 shortcut even on channel change), double-pass
+    weighted fusion head with act-free DepthwiseConvModules and BN
+    momentum 0.01/eps 1e-3, classifier at P3."""
+    from src.models.backbones.sgcpnet_backbone import (
+        SGCPNetBackbone as RefBB)
+    from src.models.heads.sgcpnet_head import SGCPNetHead as RefHead
+
+    from cvpytorch_tpu.models.light_seg3 import SGCPNet
+
+    torch.manual_seed(0)
+    bb = RefBB("")
+    head = RefHead(num_classes=7, in_channels=[24, 48, 96],
+                   shrink_channels=[40, 112, 320], mid_channels=64)
+    for m in (bb, head):
+        _randomize_bn(m)
+        m.eval()
+    x = np.random.RandomState(20).rand(1, 3, 128, 128).astype(np.float32)
+    with torch.no_grad():
+        logits = head(bb(to_torch(x)))
+        import torch.nn.functional as TF
+
+        want = TF.interpolate(logits, size=(128, 128), mode="bilinear",
+                              align_corners=False).numpy()
+
+    sd = {}
+    for mod, pre in ((bb, "bb"), (head, "head")):
+        for k, v in mod.state_dict().items():
+            sd[f"{pre}.{k}"] = v
+
+    def conv(prefix):
+        p = {"kernel": sd[f"{prefix}.weight"].numpy().transpose(2, 3, 1, 0)}
+        if f"{prefix}.bias" in sd:
+            p["bias"] = sd[f"{prefix}.bias"].numpy()
+        return p
+
+    def bnp(prefix):
+        return ({"scale": sd[f"{prefix}.weight"].numpy(),
+                 "bias": sd[f"{prefix}.bias"].numpy()},
+                {"mean": sd[f"{prefix}.running_mean"].numpy(),
+                 "var": sd[f"{prefix}.running_var"].numpy()})
+
+    params, stats = {}, {}
+    params["stem_conv"] = conv("bb.conv1.0")
+    params["stem_bn"], stats["stem_bn"] = bnp("bb.conv1.1")
+    stages = ((1,), (2, 2), (5, 5, 5, 5, 5), (3, 3, 3))
+    for si, rows in enumerate(stages, start=1):
+        for bi in range(len(rows)):
+            pre = f"bb.stage{si}" if si == 1 else f"bb.stage{si}.{bi}"
+            name = f"stage{si}_{bi}"
+            p, st = {}, {}
+            for j in (1, 2, 3):
+                p[f"conv{j}"] = conv(f"{pre}.conv{j}")
+                b, bs = bnp(f"{pre}.bn{j}")
+                p[f"bn{j}"], st[f"bn{j}"] = b, bs
+            if f"{pre}.se.se.1.weight" in sd:
+                sep, ses = {}, {}
+                sep["fc1"] = conv(f"{pre}.se.se.1")
+                b, bs = bnp(f"{pre}.se.se.2")
+                sep["bn1"], ses["bn1"] = b, bs
+                sep["fc2"] = conv(f"{pre}.se.se.4")
+                b, bs = bnp(f"{pre}.se.se.5")
+                sep["bn2"], ses["bn2"] = b, bs
+                p["se"], st["se"] = sep, ses
+            if f"{pre}.shortcut.0.weight" in sd:
+                p["sc_conv"] = conv(f"{pre}.shortcut.0")
+                b, bs = bnp(f"{pre}.shortcut.1")
+                p["sc_bn"], st["sc_bn"] = b, bs
+            params[name], stats[name] = p, st
+    for ours, theirs in (("shrink3", "conv3"), ("shrink4", "conv4"),
+                         ("shrink5", "conv5"),
+                         ("classifier", "classifier")):
+        params[ours] = conv(f"head.{theirs}")
+    for ours, theirs in (("p5_to_p6", "p5_to_p6"),
+                         ("p3_dc", "p3_down_channel"),
+                         ("p4_dc", "p4_down_channel"),
+                         ("p5_dc", "p5_down_channel"),
+                         ("p4_dc2", "p4_down_channel_2"),
+                         ("p5_dc2", "p5_down_channel_2")):
+        params[f"{ours}_conv"] = conv(f"head.{theirs}.0")
+        b, bs = bnp(f"head.{theirs}.1")
+        params[f"{ours}_bn"], stats[f"{ours}_bn"] = b, bs
+    for ours, theirs in (
+            ("conv6_up", "conv6_up"), ("conv5_up", "conv5_up"),
+            ("conv4_up", "conv4_up"), ("conv3_up", "conv3_up"),
+            ("conv4_down", "conv4_down"), ("conv5_down", "conv5_down"),
+            ("conv6_down", "conv6_down"), ("conv7_down", "conv7_down"),
+            ("conv6_up2", "conv6_up_2"), ("conv5_up2", "conv5_up_2"),
+            ("conv4_up2", "conv4_up_2"), ("conv3_up2", "conv3_up_2")):
+        params[f"{ours}_dw"] = conv(f"head.{theirs}.depthwise")
+        b, bs = bnp(f"head.{theirs}.dwnorm")
+        params[f"{ours}_dwbn"], stats[f"{ours}_dwbn"] = b, bs
+        params[f"{ours}_pw"] = conv(f"head.{theirs}.pointwise")
+        b, bs = bnp(f"head.{theirs}.pwnorm")
+        params[f"{ours}_pwbn"], stats[f"{ours}_pwbn"] = b, bs
+    for w in ("p6_w1", "p5_w1", "p4_w1", "p3_w1", "p4_w2", "p5_w2",
+              "p6_w2", "p7_w2", "p6_w1_2", "p5_w1_2", "p4_w1_2",
+              "p3_w1_2"):
+        params[w] = sd[f"head.{w}"].numpy()
+
+    model = SGCPNet(dictionary=tuple({f"c{i}": 1.0} for i in range(7)))
+    xs = jnp.asarray(x.transpose(0, 2, 3, 1))
+    variables = model.init(jax.random.PRNGKey(0), xs, mode="infer")
+    errs = verify_tree_shapes(params, dict(variables["params"]))
+    assert not errs, errs
+    ld, seg = model.apply({"params": params, "batch_stats": stats}, xs,
+                          jnp.zeros((1, 128, 128), jnp.int32), mode="val")
+    np.testing.assert_array_equal(np.asarray(seg)[0], want.argmax(1)[0])
