@@ -21,23 +21,41 @@ _BN = dict(bn_momentum=0.9, bn_eps=1e-5)
 
 
 class CascadeFusion(nn.Module):
-    """CFF: upsample low-res + dilated conv, project high-res, sum
-    (reference: icnet.py cascade feature fusion)."""
+    """CFF (reference icnet.py:42-57): align-corners upsample low,
+    Conv3x3BNReLU dilation-2 on low / dilation-1 on high, relu(sum),
+    plus an aux classifier on the (upsampled, convolved) low branch."""
 
     out: int
+    num_classes: int = 0   # >0 → return (fused, aux_logits)
 
     @nn.compact
     def __call__(self, low, high, train: bool = False):
-        low = resize_bilinear(low, high.shape[1:3])
-        low = ConvBNAct(self.out, 3, dilation=2, act=None, **_BN,
+        from .light_seg3 import resize_align_corners
+
+        low = resize_align_corners(low, high.shape[1:3])
+        low = ConvBNAct(self.out, 3, dilation=2, act="relu", **_BN,
                         name="low")(low, train)
-        high = ConvBNAct(self.out, 1, act=None, **_BN, name="high")(high, train)
-        return nn.relu(low + high)
+        high = ConvBNAct(self.out, 3, act="relu", **_BN,
+                         name="high")(high, train)
+        fused = nn.relu(low + high)
+        if self.num_classes:
+            aux = nn.Conv(self.num_classes, (1, 1), use_bias=False,
+                          name="low_cls")(low)
+            return fused, aux
+        return fused
 
 
 @MODELS.register(name="ICNet")
 class ICNet(nn.Module):
-    """(reference: icnet.py:92) — three-resolution cascade."""
+    """ICNet (reference icnet.py:92-136).  The reference class is NOT
+    buildable in its own trainer — its ctor takes ``num_classes`` only
+    (no dictionary/model_cfg) and its forward lacks the universal mode
+    contract — so the architecture is replicated (three-branch cascade:
+    full-res shallow convs /8; backbone layer2 of the half-res input;
+    backbone layer4 of the quarter-res input + additive align-corners
+    PPM [1,2,3,6]; CFF 24 → CFF 12 → ×2 upsample → classifier → ×4
+    upsample) and the training losses follow the ICNet paper: main CE +
+    0.4-weighted aux CEs from the two CFF branches."""
 
     dictionary: Sequence[Any] = ()
     model_cfg: Any = None
@@ -48,33 +66,58 @@ class ICNet(nn.Module):
         self._w = tuple(weights)
         cfg = self.model_cfg or {}
         get = cfg.get if hasattr(cfg, "get") else (lambda k, d=None: d)
-        bb = get("BACKBONE") or {"name": "ResNet", "subtype": "resnet18",
-                                 "out_stages": (2, 4), "output_stride": 8}
+        bb = get("BACKBONE") or {"name": "ResNet", "subtype": "resnet50",
+                                 "out_stages": (2, 4)}
         self.backbone = build_backbone(
             dict(bb.items()) if hasattr(bb, "items") else bb)
 
     @nn.compact
     def __call__(self, images, targets=None, mode: str = "infer"):
+        from .heads.seg_heads import resize_bilinear as _rb
+        from .light_seg3 import resize_align_corners
+
         train = mode == "train"
-        # branch 1: full-res shallow convs
+        H, W = images.shape[1:3]
+        # sub1: full-res shallow convs, /8
         b1 = images
         for i, ch in enumerate((32, 32, 64)):
             b1 = ConvBNAct(ch, 3, 2, act="relu", **_BN,
-                           name=f"b1_{i}")(b1, train)  # /8
-        # branches 2/3: backbone on half-res input
-        half = resize_bilinear(images, (images.shape[1] // 2,
-                                        images.shape[2] // 2))
-        c_mid, c_deep = self.backbone(half, train=train)
-        # PPM-lite on the deep feature
-        g = jnp.mean(c_deep, axis=(1, 2), keepdims=True)
-        c_deep = c_deep + resize_bilinear(
-            ConvBNAct(c_deep.shape[-1], 1, act="relu", **_BN,
-                      name="ppm")(g, train), c_deep.shape[1:3])
-        f = CascadeFusion(128, name="cff1")(c_deep, c_mid, train)
-        f = CascadeFusion(128, name="cff2")(f, b1, train)
-        logits = nn.Conv(self.num_classes, (1, 1), name="head")(f)
-        logits = resize_bilinear(logits, images.shape[1:3])
-        return _seg_out(logits, targets, mode, self._w)
+                           name=f"sub1_{i}")(b1, train)
+        # sub2: layer2 of the half-res input; sub4: layer4 of quarter-res
+        half = _rb(images, (H // 2, W // 2))
+        quarter = _rb(images, (H // 4, W // 4))
+        x_sub2 = self.backbone(half, train=train)[0]
+        x_sub4 = self.backbone(quarter, train=train)[1]
+        # additive PPM, align_corners=True upsampling (icnet.py:76-89)
+        feat = x_sub4
+        for b in (1, 2, 3, 6):
+            hh, ww = x_sub4.shape[1:3]
+            p = nn.avg_pool(x_sub4, (max(hh // b, 1), max(ww // b, 1)),
+                            strides=(max(hh // b, 1), max(ww // b, 1)))                 if hh % b == 0 and ww % b == 0 else                 jax.image.resize(x_sub4, (x_sub4.shape[0], b, b,
+                                          x_sub4.shape[-1]), "linear")
+            feat = feat + resize_align_corners(p, (hh, ww))
+        x_sub4 = feat
+
+        f24, aux24 = CascadeFusion(128, self.num_classes,
+                                   name="cff_24")(x_sub4, x_sub2, train)
+        f12, aux12 = CascadeFusion(128, self.num_classes,
+                                   name="cff_12")(f24, b1, train)
+        up2 = _rb(f12, (f12.shape[1] * 2, f12.shape[2] * 2))
+        logits4 = nn.Conv(self.num_classes, (1, 1), use_bias=False,
+                          name="conv_cls")(up2)
+        logits = _rb(logits4, (H, W))
+        if mode == "infer":
+            return jnp.argmax(logits, -1)
+        w = jnp.asarray(self._w)
+        main = cross_entropy_2d(logits, targets, class_weights=w)
+        aux = sum(cross_entropy_2d(_rb(a, (H, W)), targets,
+                                   class_weights=w)
+                  for a in (aux24, aux12))
+        total = main + 0.4 * aux
+        losses = {"ce_loss": main, "aux_loss": aux, "loss": total}
+        if mode == "train":
+            return total, losses
+        return losses, jnp.argmax(logits, -1)
 
 
 class UAFM(nn.Module):

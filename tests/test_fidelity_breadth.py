@@ -1503,3 +1503,74 @@ def test_sgcpnet_matches_reference():
     ld, seg = model.apply({"params": params, "batch_stats": stats}, xs,
                           jnp.zeros((1, 128, 128), jnp.int32), mode="val")
     np.testing.assert_array_equal(np.asarray(seg)[0], want.argmax(1)[0])
+
+
+def test_icnet_cff_and_ppm_match_reference():
+    """ICNet's concrete pieces vs /root/reference/src/models/icnet.py:
+    CascadeFeatureFusion (:42-57, align-corners upsample + dilated
+    ConvBNReLU pair + relu(sum) + aux cls) and the additive
+    PyramidPoolingModule (:76-89).  The full reference ICNet is
+    unbuildable in its own trainer — the ctor takes ``num_classes`` only
+    and the forward lacks the universal (imgs, targets, mode) contract —
+    so whole-model parity is by architecture replication."""
+    from src.models.icnet import CascadeFeatureFusion as RefCFF
+    from src.models.icnet import PyramidPoolingModule as RefPPM
+
+    from cvpytorch_tpu.models.light_seg2 import CascadeFusion
+
+    torch.manual_seed(0)
+    ref = RefCFF(64, 32, 48, 7)
+    _randomize_bn(ref)
+    ref.eval()
+    rng = np.random.RandomState(21)
+    low = torch.from_numpy(rng.rand(1, 64, 8, 8).astype(np.float32))
+    high = torch.from_numpy(rng.rand(1, 32, 16, 16).astype(np.float32))
+    with torch.no_grad():
+        want_f, want_aux = ref(low, high)
+
+    sd = ref.state_dict()
+
+    def seq_cbn(prefix):
+        return ({"conv": {"kernel": sd[f"{prefix}.0.weight"].numpy()
+                          .transpose(2, 3, 1, 0)},
+                 "bn": {"scale": sd[f"{prefix}.1.weight"].numpy(),
+                        "bias": sd[f"{prefix}.1.bias"].numpy()}},
+                {"bn": {"mean": sd[f"{prefix}.1.running_mean"].numpy(),
+                        "var": sd[f"{prefix}.1.running_var"].numpy()}})
+
+    params, stats = {}, {}
+    params["low"], stats["low"] = seq_cbn("conv_low")
+    params["high"], stats["high"] = seq_cbn("conv_high")
+    params["low_cls"] = {"kernel": sd["conv_low_cls.weight"].numpy()
+                         .transpose(2, 3, 1, 0)}
+
+    model = CascadeFusion(48, num_classes=7)
+    lo = jnp.asarray(low.numpy().transpose(0, 2, 3, 1))
+    hi = jnp.asarray(high.numpy().transpose(0, 2, 3, 1))
+    variables = model.init(jax.random.PRNGKey(0), lo, hi)
+    errs = verify_tree_shapes(params, dict(variables["params"]))
+    assert not errs, errs
+    got_f, got_aux = model.apply({"params": params, "batch_stats": stats},
+                                 lo, hi, train=False)
+    np.testing.assert_allclose(np.asarray(got_f).transpose(0, 3, 1, 2),
+                               want_f.numpy(), atol=5e-5)
+    np.testing.assert_allclose(np.asarray(got_aux).transpose(0, 3, 1, 2),
+                               want_aux.numpy(), atol=5e-5)
+
+    # PPM: additive align-corners pyramid
+    from cvpytorch_tpu.models.light_seg3 import resize_align_corners
+
+    ppm = RefPPM()
+    x = torch.from_numpy(rng.rand(1, 24, 12, 12).astype(np.float32))
+    with torch.no_grad():
+        want = ppm(x).numpy()
+    xs = jnp.asarray(x.numpy().transpose(0, 2, 3, 1))
+    feat = xs
+    import flax.linen as fnn
+
+    for b in (1, 2, 3, 6):
+        p = fnn.avg_pool(xs, (12 // b, 12 // b),
+                         strides=(12 // b, 12 // b))
+        feat = feat + resize_align_corners(p, (12, 12))
+    np.testing.assert_allclose(np.asarray(feat).transpose(0, 3, 1, 2),
+                               want, atol=1e-5)
