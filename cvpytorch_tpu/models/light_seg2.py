@@ -184,27 +184,40 @@ class PPLiteSeg(nn.Module):
 
 
 class SSnbt(nn.Module):
-    """Split-shuffle non-bottleneck block (reference: led_net.py)."""
+    """Split-shuffle non-bottleneck (reference led_net.py:88-170): biased
+    factorized convs with BN only mid/end of each branch, mirrored
+    left/right orders, channelwise dropout, relu(residual+cat), shuffle."""
 
     dilation: int = 1
+    dropprob: float = 0.0
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         ch = x.shape[-1] // 2
-        a, b = x[..., :ch], x[..., ch:]
-        c = lambda chn, k, d, name: ConvBNAct(
-            chn, k, dilation=d, act="relu", **_BN, name=name)
-        a = c(ch, (3, 1), 1, "a1")(a, train)
-        a = c(ch, (1, 3), 1, "a2")(a, train)
-        a = c(ch, (3, 1), self.dilation, "a3")(a, train)
-        a = c(ch, (1, 3), self.dilation, "a4")(a, train)
-        b = c(ch, (1, 3), 1, "b1")(b, train)
-        b = c(ch, (3, 1), 1, "b2")(b, train)
-        b = c(ch, (1, 3), self.dilation, "b3")(b, train)
-        b = c(ch, (3, 1), self.dilation, "b4")(b, train)
+        x1, x2 = x[..., :ch], x[..., ch:]
+        conv = lambda k, d, nm: nn.Conv(  # noqa: E731
+            ch, k, padding=((d * (k[0] - 1) // 2, d * (k[0] - 1) // 2),
+                            (d * (k[1] - 1) // 2, d * (k[1] - 1) // 2)),
+            kernel_dilation=(d, d), use_bias=True, name=nm)
+        bn = lambda nm: nn.BatchNorm(  # noqa: E731
+            use_running_average=not train, momentum=0.9, epsilon=1e-3,
+            name=nm)
+        # left: 3×1 → relu → 1×3 → bn → relu → 3×1(d) → relu → 1×3(d) → bn
+        a = nn.relu(conv((3, 1), 1, "l1")(x1))
+        a = nn.relu(bn("l_bn1")(conv((1, 3), 1, "l2")(a)))
+        a = nn.relu(conv((3, 1), self.dilation, "l3")(a))
+        a = bn("l_bn2")(conv((1, 3), self.dilation, "l4")(a))
+        # right: mirrored order
+        b = nn.relu(conv((1, 3), 1, "r1")(x2))
+        b = nn.relu(bn("r_bn1")(conv((3, 1), 1, "r2")(b)))
+        b = nn.relu(conv((1, 3), self.dilation, "r3")(b))
+        b = bn("r_bn2")(conv((3, 1), self.dilation, "r4")(b))
+        if self.dropprob > 0:
+            drop = nn.Dropout(self.dropprob, broadcast_dims=(1, 2),
+                              deterministic=not train)   # Dropout2d
+            a, b = drop(a), drop(b)
         y = jnp.concatenate([a, b], -1)
         y = nn.relu(x + y)
-        # channel shuffle
         n, h, w, cc = y.shape
         return y.reshape(n, h, w, 2, cc // 2).swapaxes(3, 4).reshape(
             n, h, w, cc)
@@ -212,8 +225,11 @@ class SSnbt(nn.Module):
 
 @MODELS.register(name="LEDNet")
 class LEDNet(nn.Module):
-    """(reference: led_net.py:353) — SS-nbt encoder + attention pyramid
-    decoder (APN)."""
+    """LEDNet (reference led_net.py:48-310): downsampler blocks (biased
+    conv ∥ max-pool concat, shared BN eps 1e-3), the exact SS-nbt stage
+    plan (3×32 d1 / 2×64 d1 / 128 d{1,2,5,9} + d{2,5,9,17}), and the APN
+    decoder (global branch, 1-channel 7/5/3 down pyramid with
+    align_corners=True fusions, mid multiplication)."""
 
     dictionary: Sequence[Any] = ()
     model_cfg: Any = None
@@ -225,35 +241,54 @@ class LEDNet(nn.Module):
 
     @nn.compact
     def __call__(self, images, targets=None, mode: str = "infer"):
+        from .light_seg3 import resize_align_corners
+
         train = mode == "train"
 
         def down(x, ch, name):
-            c = ConvBNAct(ch - x.shape[-1], 3, 2, act="relu", **_BN,
-                          name=name)(x, train)
+            c = nn.Conv(ch - x.shape[-1], (3, 3), strides=2, padding=1,
+                        use_bias=True, name=f"{name}_conv")(x)
             p = nn.max_pool(x, (2, 2), strides=(2, 2))
-            return jnp.concatenate([c, p], -1)
+            y = jnp.concatenate([c, p], -1)
+            y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                             epsilon=1e-3, name=f"{name}_bn")(y)
+            return nn.relu(y)
 
         x = down(images, 32, "down1")
         for i in range(3):
-            x = SSnbt(name=f"s1_{i}")(x, train)
+            x = SSnbt(1, 0.03, name=f"s1_{i}")(x, train)
         x = down(x, 64, "down2")
         for i in range(2):
-            x = SSnbt(name=f"s2_{i}")(x, train)
+            x = SSnbt(1, 0.03, name=f"s2_{i}")(x, train)
         x = down(x, 128, "down3")
         for i, d in enumerate((1, 2, 5, 9, 2, 5, 9, 17)):
-            x = SSnbt(dilation=d, name=f"s3_{i}")(x, train)
-        # APN decoder
+            x = SSnbt(d, 0.3, name=f"s3_{i}")(x, train)
+
+        # APN decoder (led_net.py:227-281)
+        def cbr(ch, k, st, nm):
+            def f(v):
+                v = nn.Conv(ch, (k, k), strides=st, padding=k // 2,
+                            use_bias=True, name=f"{nm}_conv")(v)
+                v = nn.BatchNorm(use_running_average=not train,
+                                 momentum=0.9, epsilon=1e-3,
+                                 name=f"{nm}_bn")(v)
+                return nn.relu(v)
+            return f
+
+        h, w = x.shape[1:3]
         g = jnp.mean(x, axis=(1, 2), keepdims=True)
-        g = nn.Conv(self.num_classes, (1, 1), name="apn_g")(g)
-        a1 = ConvBNAct(self.num_classes, 3, act="relu", **_BN,
-                       name="apn1")(x, train)
-        a2 = ConvBNAct(self.num_classes, 5, 2, act="relu", **_BN,
-                       name="apn2")(x, train)
-        a3 = ConvBNAct(self.num_classes, 7, 2, act="relu", **_BN,
-                       name="apn3")(a2, train)
-        a3 = resize_bilinear(a3, a2.shape[1:3])
-        a2 = resize_bilinear(a2 + a3, a1.shape[1:3])
-        base = nn.Conv(self.num_classes, (1, 1), name="apn_base")(x)
-        logits = base * (a1 + a2) + g
-        logits = resize_bilinear(logits, images.shape[1:3])
+        b1 = resize_align_corners(cbr(self.num_classes, 1, 1, "b1")(g),
+                                  (h, w))
+        mid = cbr(self.num_classes, 1, 1, "mid")(x)
+        x1 = cbr(1, 7, 2, "down_1")(x)
+        x2 = cbr(1, 5, 2, "down_2")(x1)
+        x3 = cbr(1, 3, 2, "down_3a")(x2)
+        x3 = cbr(1, 3, 1, "down_3b")(x3)
+        x3 = resize_align_corners(x3, (h // 4, w // 4))
+        x2 = cbr(1, 5, 1, "conv2")(x2)
+        y = resize_align_corners(x2 + x3, (h // 2, w // 2))
+        x1 = cbr(1, 7, 1, "conv1")(x1)
+        y = resize_align_corners(y + x1, (h, w))
+        logits = y * mid + b1
+        logits = resize_align_corners(logits, images.shape[1:3])
         return _seg_out(logits, targets, mode, self._w)

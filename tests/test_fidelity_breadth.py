@@ -1574,3 +1574,105 @@ def test_icnet_cff_and_ppm_match_reference():
         feat = feat + resize_align_corners(p, (12, 12))
     np.testing.assert_allclose(np.asarray(feat).transpose(0, 3, 1, 2),
                                want, atol=1e-5)
+
+
+def test_lednet_matches_reference():
+    """LEDNet Encoder+APN vs /root/reference/src/models/led_net.py:48-310
+    (biased factorized SS-nbt branches with mirrored orders + channel
+    shuffle, conv∥pool downsamplers with shared BN, the 1-channel 7/5/3
+    APN pyramid with align-corners fusions).  The reference Decoder
+    hardcodes a (512,1024) output resize, so the comparison applies the
+    same final resize to 64² on both sides."""
+    from src.models.led_net import APN_Module, Encoder
+
+    from cvpytorch_tpu.models.light_seg2 import LEDNet
+
+    torch.manual_seed(0)
+    C = 7
+    enc = Encoder(C)
+    apn = APN_Module(in_ch=128, out_ch=C)
+    for m in (enc, apn):
+        _randomize_bn(m)
+        m.eval()
+    x = np.random.RandomState(22).rand(1, 3, 64, 64).astype(np.float32)
+    import torch.nn.functional as TF
+
+    with torch.no_grad():
+        e = enc(to_torch(x))
+        want = TF.interpolate(apn(e), size=(64, 64), mode="bilinear",
+                              align_corners=True).numpy()
+
+    sd = {}
+    for mod, pre in ((enc, "enc"), (apn, "apn")):
+        for k, v in mod.state_dict().items():
+            sd[f"{pre}.{k}"] = v
+
+    def conv(prefix):
+        p = {"kernel": sd[f"{prefix}.weight"].numpy().transpose(2, 3, 1, 0)}
+        if f"{prefix}.bias" in sd:
+            p["bias"] = sd[f"{prefix}.bias"].numpy()
+        return p
+
+    def bnp(prefix):
+        return ({"scale": sd[f"{prefix}.weight"].numpy(),
+                 "bias": sd[f"{prefix}.bias"].numpy()},
+                {"mean": sd[f"{prefix}.running_mean"].numpy(),
+                 "var": sd[f"{prefix}.running_var"].numpy()})
+
+    params, stats = {}, {}
+    params["down1_conv"] = conv("enc.initial_block.conv")
+    b, bs = bnp("enc.initial_block.bn")
+    params["down1_bn"], stats["down1_bn"] = b, bs
+
+    def ssnbt(prefix, name):
+        p, st = {}, {}
+        for ours, theirs in (("l1", "conv3x1_1_l"), ("l2", "conv1x3_1_l"),
+                             ("l3", "conv3x1_2_l"), ("l4", "conv1x3_2_l"),
+                             ("r1", "conv1x3_1_r"), ("r2", "conv3x1_1_r"),
+                             ("r3", "conv1x3_2_r"), ("r4", "conv3x1_2_r")):
+            p[ours] = conv(f"{prefix}.{theirs}")
+        for ours, theirs in (("l_bn1", "bn1_l"), ("l_bn2", "bn2_l"),
+                             ("r_bn1", "bn1_r"), ("r_bn2", "bn2_r")):
+            bb_, bs_ = bnp(f"{prefix}.{theirs}")
+            p[ours], st[ours] = bb_, bs_
+        params[name], stats[name] = p, st
+
+    li = 0
+    for i in range(3):
+        ssnbt(f"enc.layers.{li}", f"s1_{i}")
+        li += 1
+    params["down2_conv"] = conv(f"enc.layers.{li}.conv")
+    b, bs = bnp(f"enc.layers.{li}.bn")
+    params["down2_bn"], stats["down2_bn"] = b, bs
+    li += 1
+    for i in range(2):
+        ssnbt(f"enc.layers.{li}", f"s2_{i}")
+        li += 1
+    params["down3_conv"] = conv(f"enc.layers.{li}.conv")
+    b, bs = bnp(f"enc.layers.{li}.bn")
+    params["down3_bn"], stats["down3_bn"] = b, bs
+    li += 1
+    for i in range(8):
+        ssnbt(f"enc.layers.{li}", f"s3_{i}")
+        li += 1
+
+    for ours, theirs in (("b1", "apn.branch1.1.conv"),
+                         ("mid", "apn.mid.0.conv"),
+                         ("down_1", "apn.down1.conv"),
+                         ("down_2", "apn.down2.conv"),
+                         ("down_3a", "apn.down3.0.conv"),
+                         ("down_3b", "apn.down3.1.conv"),
+                         ("conv2", "apn.conv2.conv"),
+                         ("conv1", "apn.conv1.conv")):
+        params[f"{ours}_conv"] = conv(f"{theirs}.0")
+        b, bs = bnp(f"{theirs}.1")
+        params[f"{ours}_bn"], stats[f"{ours}_bn"] = b, bs
+
+    model = LEDNet(dictionary=tuple({f"c{i}": 1.0} for i in range(C)))
+    xs = jnp.asarray(x.transpose(0, 2, 3, 1))
+    variables = model.init(jax.random.PRNGKey(0), xs, mode="infer")
+    errs = verify_tree_shapes(params, dict(variables["params"]))
+    assert not errs, errs
+    ld, seg = model.apply({"params": params, "batch_stats": stats}, xs,
+                          jnp.zeros((1, 64, 64), jnp.int32), mode="val")
+    np.testing.assert_array_equal(np.asarray(seg)[0], want.argmax(1)[0])
