@@ -121,30 +121,49 @@ class ICNet(nn.Module):
 
 
 class UAFM(nn.Module):
-    """Unified attention fusion (reference: pp_liteseg.py UAFM)."""
+    """Unified attention fusion (reference ppliteseg_head.py:44-135):
+    project LOW 3×3, upsample HIGH align_corners=True, spatial attention
+    from mean/max stats (3×3 conv-BN-relu → 3×3 conv-BN-sigmoid),
+    out = low·a + high·(1−a), conv_out 3×3."""
 
+    mid: int
     out: int
 
     @nn.compact
     def __call__(self, low, high, train: bool = False):
-        high = resize_bilinear(
-            ConvBNAct(self.out, 1, act="relu", **_BN, name="high")(high, train),
-            low.shape[1:3])
-        low = ConvBNAct(self.out, 3, act="relu", **_BN, name="low")(low, train)
-        # spatial attention from mean/max stats of both
+        from .light_seg3 import resize_align_corners
+
+        low = ConvBNAct(self.mid, 3, act="relu", **_BN,
+                        name="proj")(low, train)
+        high = resize_align_corners(high, low.shape[1:3])
         stats = jnp.concatenate([
             low.mean(-1, keepdims=True), low.max(-1, keepdims=True),
             high.mean(-1, keepdims=True), high.max(-1, keepdims=True)], -1)
-        alpha = nn.sigmoid(nn.Conv(1, (3, 3), padding=1, name="attn")(stats))
-        return low * alpha + high * (1 - alpha)
+        a = ConvBNAct(2, 3, act="relu", **_BN, name="sa1")(stats, train)
+        a = ConvBNAct(1, 3, act=None, **_BN, name="sa2")(a, train)
+        a = jax.nn.sigmoid(a)
+        fused = low * a + high * (1.0 - a)
+        fused = ConvBNAct(self.mid, 3, act="relu", **_BN,
+                          name="sa_out")(fused, train)
+        return ConvBNAct(self.out, 3, act="relu", **_BN,
+                         name="out")(fused, train)
 
 
 @MODELS.register(name="PPLiteSeg")
 class PPLiteSeg(nn.Module):
-    """(reference: pp_liteseg.py:24) — STDC backbone + SPPM + UAFM decoder."""
+    """PP-LiteSeg (reference pp_liteseg.py:24-75 + ppliteseg_head.py:
+    12-180).  The reference ships NO config for this model — the head's
+    required kwargs exist only in its __main__ demo (in [256,512,1024],
+    out [32,64,128], sppm 128, sizes [1,2,4]); those values are the
+    defaults here.  Replicated quirks: three aux heads are summed in
+    training, and inference uses outputs[0] — the head appended FIRST,
+    i.e. the deepest/coarsest classifier (pp_liteseg.py:63)."""
 
     dictionary: Sequence[Any] = ()
     model_cfg: Any = None
+    out_channels: Sequence[int] = (32, 64, 128)
+    sppm_channel: int = 128
+    sizes: Sequence[int] = (1, 2, 4)
 
     def setup(self):
         names, weights = dictionary_to_names_weights(list(self.dictionary))
@@ -158,29 +177,51 @@ class PPLiteSeg(nn.Module):
 
     @nn.compact
     def __call__(self, images, targets=None, mode: str = "infer"):
+        from .light_seg3 import resize_align_corners
+
         train = mode == "train"
-        c3, c4, c5 = self.backbone(images, train=train)
-        # SPPM: pooled pyramid on c5
-        outs = []
-        for i, s in enumerate((1, 2, 4)):
-            p = jax.image.resize(c5, (c5.shape[0], s, s, c5.shape[-1]),
+        feats = self.backbone(images, train=train)      # c3, c4, c5
+        oc = tuple(self.out_channels)
+        # SPPM: additive align-corners pyramid + 3×3 conv_out
+        c5 = feats[-1]
+        acc = None
+        for i, b in enumerate(self.sizes):
+            hh, ww = c5.shape[1:3]
+            p = nn.avg_pool(c5, (max(hh // b, 1), max(ww // b, 1)),
+                            strides=(max(hh // b, 1), max(ww // b, 1)))                 if hh % b == 0 and ww % b == 0 else                 jax.image.resize(c5, (c5.shape[0], b, b, c5.shape[-1]),
                                  "linear")
-            p = ConvBNAct(128, 1, act="relu", **_BN, name=f"sppm{i}")(p, train)
-            outs.append(resize_bilinear(p, c5.shape[1:3]))
-        f = ConvBNAct(128, 3, act="relu", **_BN, name="sppm_out")(
-            sum(outs), train)
-        f = UAFM(96, name="uafm1")(c4, f, train)
-        f = UAFM(64, name="uafm2")(c3, f, train)
-        logits = nn.Conv(self.num_classes, (1, 1), name="head")(f)
-        logits = resize_bilinear(logits, images.shape[1:3])
+            p = ConvBNAct(self.sppm_channel, 1, act="relu", **_BN,
+                          name=f"sppm{i}")(p, train)
+            p = resize_align_corners(p, (hh, ww))
+            acc = p if acc is None else acc + p
+        high = ConvBNAct(self.sppm_channel, 3, act="relu", **_BN,
+                         name="sppm_out")(acc, train)
+
+        mids = (oc[1], oc[2], oc[2])    # per-UAFM mid (reference ctor)
+        outs_ch = (oc[0], oc[1], oc[2])
+        logits_list = []
+        mid_cls = oc[1]
+        for idx, low in zip((2, 1, 0), reversed(feats)):
+            high = UAFM(mids[idx], outs_ch[idx],
+                        name=f"uafm{idx}")(low, high, train)
+            y = ConvBNAct(mid_cls, 3, act="relu", **_BN,
+                          name=f"cls{idx}_conv")(high, train)
+            y = nn.Conv(self.num_classes, (1, 1), use_bias=False,
+                        name=f"cls{idx}_out")(y)
+            logits_list.append(resize_bilinear(y, images.shape[1:3]))
+
+        main = logits_list[0]    # reference pp_liteseg.py:63 quirk
         if mode == "infer":
-            return jnp.argmax(logits, -1)
+            return jnp.argmax(main, -1)
         w = jnp.asarray(self._w)
-        loss = ohem_cross_entropy_2d(logits, targets, class_weights=w)
-        losses = {"seg_loss": loss, "loss": loss}
+        ces = [cross_entropy_2d(lg, targets, class_weights=w)
+               for lg in logits_list]
+        total = sum(ces)
+        losses = {f"ce_loss{i + 1}": c for i, c in enumerate(ces)}
+        losses["loss"] = total
         if mode == "train":
-            return loss, losses
-        return losses, jnp.argmax(logits, -1)
+            return total, losses
+        return losses, jnp.argmax(main, -1)
 
 
 class SSnbt(nn.Module):

@@ -1676,3 +1676,93 @@ def test_lednet_matches_reference():
     ld, seg = model.apply({"params": params, "batch_stats": stats}, xs,
                           jnp.zeros((1, 64, 64), jnp.int32), mode="val")
     np.testing.assert_array_equal(np.asarray(seg)[0], want.argmax(1)[0])
+
+
+def test_ppliteseg_head_matches_reference():
+    """PPLiteSegHead vs /root/reference/src/models/heads/
+    ppliteseg_head.py:12-180: additive align-corners SPPM + 3 UAFMs
+    (spatial attention over mean/max stats) + per-level classifiers.
+    The reference ships NO config for this model — the demo kwargs
+    (in [256,512,1024], out [32,64,128], sppm 128, sizes [1,2,4]) are
+    used on both sides."""
+    from src.models.heads.ppliteseg_head import PPLiteSegHead as RefHead
+
+    import flax.linen as fnn
+    import cvpytorch_tpu.models.light_seg2 as ls2
+    from cvpytorch_tpu.models.light_seg2 import PPLiteSeg
+
+    torch.manual_seed(0)
+    C = 7
+    ref = RefHead(num_classes=C, in_channels=[256, 512, 1024],
+                  out_channels=[32, 64, 128], sppm_channel=128,
+                  sizes=[1, 2, 4])
+    _randomize_bn(ref)
+    ref.eval()
+    rng = np.random.RandomState(23)
+    feats_t = [torch.from_numpy(rng.rand(1, c, s, s).astype(np.float32))
+               for c, s in zip((256, 512, 1024), (16, 8, 4))]
+    import torch.nn.functional as TF
+
+    with torch.no_grad():
+        outs = ref(feats_t)
+        want0 = TF.interpolate(outs[0], size=(128, 128), mode="bilinear",
+                               align_corners=False).numpy()
+
+    sd = ref.state_dict()
+
+    def seq_cbn(prefix, ci=0, bi=1):
+        return ({"conv": {"kernel": sd[f"{prefix}.{ci}.weight"].numpy()
+                          .transpose(2, 3, 1, 0)},
+                 "bn": {"scale": sd[f"{prefix}.{bi}.weight"].numpy(),
+                        "bias": sd[f"{prefix}.{bi}.bias"].numpy()}},
+                {"bn": {"mean": sd[f"{prefix}.{bi}.running_mean"].numpy(),
+                        "var": sd[f"{prefix}.{bi}.running_var"].numpy()}})
+
+    params, stats = {}, {}
+    for i in range(3):
+        p, st = seq_cbn(f"sppm.stages.{i}", 1, 2)
+        params[f"sppm{i}"], stats[f"sppm{i}"] = p, st
+    p, st = seq_cbn("sppm.conv_out")
+    params["sppm_out"], stats["sppm_out"] = p, st
+    for i in range(3):
+        u, us = {}, {}
+        p, st = seq_cbn(f"uafms.{i}.proj_conv")
+        u["proj"], us["proj"] = p, st
+        p, st = seq_cbn(f"uafms.{i}.attention.fuse", 0, 1)
+        u["sa1"], us["sa1"] = p, st
+        p, st = seq_cbn(f"uafms.{i}.attention.fuse", 3, 4)
+        u["sa2"], us["sa2"] = p, st
+        p, st = seq_cbn(f"uafms.{i}.attention.conv_out")
+        u["sa_out"], us["sa_out"] = p, st
+        p, st = seq_cbn(f"uafms.{i}.conv_out")
+        u["out"], us["out"] = p, st
+        params[f"uafm{i}"], stats[f"uafm{i}"] = u, us
+        p, st = seq_cbn(f"classifiers.{i}")
+        params[f"cls{i}_conv"], stats[f"cls{i}_conv"] = p, st
+        params[f"cls{i}_out"] = {
+            "kernel": sd[f"classifiers.{i}.3.weight"].numpy()
+            .transpose(2, 3, 1, 0)}
+
+    class _FakeBB(fnn.Module):
+        @fnn.compact
+        def __call__(self, x, train=False):
+            return tuple(jnp.asarray(f.numpy().transpose(0, 2, 3, 1))
+                         for f in feats_t)
+
+    orig_bb = ls2.build_backbone
+    ls2.build_backbone = lambda cfg: _FakeBB()   # module-level binding
+    try:
+        model = PPLiteSeg(
+            dictionary=tuple({f"c{i}": 1.0} for i in range(C)))
+        imgs = jnp.zeros((1, 128, 128, 3))
+        v = model.init(jax.random.PRNGKey(0), imgs, mode="infer")
+        p = dict(v["params"])
+        st = dict(v.get("batch_stats", {}))
+        p.update(params)
+        st.update(stats)
+        ld, seg = model.apply({"params": p, "batch_stats": st}, imgs,
+                              jnp.zeros((1, 128, 128), jnp.int32),
+                              mode="val")
+    finally:
+        ls2.build_backbone = orig_bb
+    np.testing.assert_array_equal(np.asarray(seg)[0], want0.argmax(1)[0])
