@@ -27,19 +27,59 @@ from .yolov5 import DEFAULT_ANCHORS, STRIDES
 _BN = dict(bn_momentum=0.97, bn_eps=1e-3)
 
 
+class YoloBottleneckCSP(nn.Module):
+    """The classic YOLOv5 BottleneckCSP (reference
+    modules/yolo11_modules.py:186-203): cv1 ConvBNSiLU → n Bottlenecks →
+    plain cv3; plain cv2 on the input; BN+LeakyReLU(0.1) over the concat;
+    cv4 ConvBNSiLU."""
+
+    out: int
+    n: int = 1
+    shortcut: bool = True
+    expansion: float = 0.5
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c_ = int(self.out * self.expansion)
+        y1 = ConvBNAct(c_, 1, act="silu", **_BN, name="cv1")(x, train)
+        for i in range(self.n):
+            h = ConvBNAct(c_, 1, act="silu", **_BN,
+                          name=f"m{i}_cv1")(y1, train)
+            h = ConvBNAct(c_, 3, act="silu", **_BN,
+                          name=f"m{i}_cv2")(h, train)
+            y1 = y1 + h if self.shortcut else h
+        y1 = nn.Conv(c_, (1, 1), use_bias=False, name="cv3")(y1)
+        y2 = nn.Conv(c_, (1, 1), use_bias=False, name="cv2")(x)
+        y = jnp.concatenate([y1, y2], -1)
+        y = nn.BatchNorm(use_running_average=not train, momentum=0.97,
+                         epsilon=1e-3, name="bn")(y)
+        y = nn.leaky_relu(y, 0.1)
+        return ConvBNAct(self.out, 1, act="silu", **_BN,
+                         name="cv4")(y, train)
+
+
 class SegDecoder(nn.Module):
-    """Light upsampling decoder from the P3 neck feature (reference:
-    yolop.py seg branches)."""
+    """The exact YOLOP SegmentHead (reference heads/yolop_head.py:16-33):
+    Conv3 → up2 → BottleneckCSP → Conv3 → up2 → Conv3 → BottleneckCSP →
+    up2 → Conv3(num_classes), all nearest upsampling."""
 
     num_classes: int = 2
 
     @nn.compact
     def __call__(self, x, out_hw, train: bool = False):
-        for i, ch in enumerate((128, 64, 32)):
-            x = ConvBNAct(ch, 3, act="silu", **_BN, name=f"conv{i}")(x, train)
-            x = upsample2x(x)
-        x = nn.Conv(self.num_classes, (1, 1), name="head")(x)
-        return resize_bilinear(x, out_hw)
+        x = ConvBNAct(128, 3, act="silu", **_BN, name="c0")(x, train)
+        x = upsample2x(x)
+        x = YoloBottleneckCSP(64, shortcut=False, name="csp0")(x, train)
+        x = ConvBNAct(32, 3, act="silu", **_BN, name="c1")(x, train)
+        x = upsample2x(x)
+        x = ConvBNAct(16, 3, act="silu", **_BN, name="c2")(x, train)
+        x = YoloBottleneckCSP(8, shortcut=False, name="csp1")(x, train)
+        x = upsample2x(x)
+        x = ConvBNAct(self.num_classes, 3, act="silu", **_BN,
+                      name="head")(x, train)
+        if x.shape[1:3] != tuple(out_hw):
+            x = resize_bilinear(x, out_hw)
+        return x
 
 
 @MODELS.register(name="YOLOP")

@@ -1766,3 +1766,73 @@ def test_ppliteseg_head_matches_reference():
     finally:
         ls2.build_backbone = orig_bb
     np.testing.assert_array_equal(np.asarray(seg)[0], want0.argmax(1)[0])
+
+
+def test_yolop_segment_head_matches_reference():
+    """YOLOP SegmentHead vs /root/reference/src/models/heads/
+    yolop_head.py:16-33 (Conv/BottleneckCSP/nearest-up ladder).  The
+    rest of the reference YOLOP stack is unbuildable upstream:
+    YOLOPNeck references ``BottleneckCSP`` it never imports
+    (yolop_neck.py:17 imports only C3/Conv → NameError, verified), and
+    YOLOPHead.forward calls ``self.detect_head`` whose construction is
+    commented out (yolop_head.py:40 vs :36) — both documented; our YOLOP
+    composes the YOLOv5 machinery per the reference's intent."""
+    from src.models.heads.yolop_head import SegmentHead
+
+    from cvpytorch_tpu.models.yolop import SegDecoder
+
+    torch.manual_seed(0)
+    ref = SegmentHead(num_classes=2)
+    _randomize_bn(ref)
+    ref.eval()
+    x = np.random.RandomState(24).rand(1, 256, 8, 8).astype(np.float32)
+    with torch.no_grad():
+        want = ref(to_torch(x)).numpy()
+
+    sd = ref.state_dict()
+
+    def yconv(prefix):
+        return ({"conv": {"kernel": sd[f"{prefix}.conv.weight"].numpy()
+                          .transpose(2, 3, 1, 0)},
+                 "bn": {"scale": sd[f"{prefix}.bn.weight"].numpy(),
+                        "bias": sd[f"{prefix}.bn.bias"].numpy()}},
+                {"bn": {"mean": sd[f"{prefix}.bn.running_mean"].numpy(),
+                        "var": sd[f"{prefix}.bn.running_var"].numpy()}})
+
+    def csp(prefix):
+        p, st = {}, {}
+        for nm in ("cv1", "cv4"):
+            pp, ss = yconv(f"{prefix}.{nm}")
+            p[nm], st[nm] = pp, ss
+        for nm in ("cv2", "cv3"):
+            p[nm] = {"kernel": sd[f"{prefix}.{nm}.weight"].numpy()
+                     .transpose(2, 3, 1, 0)}
+        pp, ss = yconv(f"{prefix}.m.0.cv1")
+        p["m0_cv1"], st["m0_cv1"] = pp, ss
+        pp, ss = yconv(f"{prefix}.m.0.cv2")
+        p["m0_cv2"], st["m0_cv2"] = pp, ss
+        b, bs = ({"scale": sd[f"{prefix}.bn.weight"].numpy(),
+                  "bias": sd[f"{prefix}.bn.bias"].numpy()},
+                 {"mean": sd[f"{prefix}.bn.running_mean"].numpy(),
+                  "var": sd[f"{prefix}.bn.running_var"].numpy()})
+        p["bn"], st["bn"] = b, bs
+        return p, st
+
+    params, stats = {}, {}
+    for ours, theirs in (("c0", "segHead.0"), ("c1", "segHead.3"),
+                         ("c2", "segHead.5"), ("head", "segHead.8")):
+        p, st = yconv(theirs)
+        params[ours], stats[ours] = p, st
+    p, st = csp("segHead.2")
+    params["csp0"], stats["csp0"] = p, st
+    p, st = csp("segHead.6")
+    params["csp1"], stats["csp1"] = p, st
+
+    model = SegDecoder(num_classes=2)
+    xs = jnp.asarray(x.transpose(0, 2, 3, 1))
+    variables = model.init(jax.random.PRNGKey(0), xs, (64, 64))
+    errs = verify_tree_shapes(params, dict(variables["params"]))
+    assert not errs, errs
+    got = model.apply({"params": params, "batch_stats": stats}, xs,
+                      (64, 64), train=False)
+    _allclose_rel(np.asarray(got).transpose(0, 3, 1, 2), want, atol=1e-4)
