@@ -13,12 +13,24 @@ from flax import linen as nn
 
 from ...registry import BACKBONES
 
-_SPECS = {  # num_blocks per stage, width multipliers
-    "RepVGG-A0": ((2, 4, 14, 1), (0.75, 0.75, 0.75, 2.5)),
-    "RepVGG-A1": ((2, 4, 14, 1), (1.0, 1.0, 1.0, 2.5)),
-    "RepVGG-A2": ((2, 4, 14, 1), (1.5, 1.5, 1.5, 2.75)),
-    "RepVGG-B0": ((4, 6, 16, 1), (1.0, 1.0, 1.0, 2.5)),
-    "RepVGG-B1": ((4, 6, 16, 1), (2.0, 2.0, 2.0, 4.0)),
+# layer indices (stage0=0, then blocks counted sequentially) that get
+# grouped convs in the gN variants (reference repvgg.py:17-19)
+_G_LAYERS = (2, 4, 6, 8, 10, 12, 14, 16, 18, 20, 22, 24, 26)
+
+_SPECS = {  # num_blocks per stage, width multipliers, groups for _G_LAYERS
+    "repvgg_a0": ((2, 4, 14, 1), (0.75, 0.75, 0.75, 2.5), 1),
+    "repvgg_a1": ((2, 4, 14, 1), (1.0, 1.0, 1.0, 2.5), 1),
+    "repvgg_a2": ((2, 4, 14, 1), (1.5, 1.5, 1.5, 2.75), 1),
+    "repvgg_b0": ((4, 6, 16, 1), (1.0, 1.0, 1.0, 2.5), 1),
+    "repvgg_b1": ((4, 6, 16, 1), (2.0, 2.0, 2.0, 4.0), 1),
+    "repvgg_b1g2": ((4, 6, 16, 1), (2.0, 2.0, 2.0, 4.0), 2),
+    "repvgg_b1g4": ((4, 6, 16, 1), (2.0, 2.0, 2.0, 4.0), 4),
+    "repvgg_b2": ((4, 6, 16, 1), (2.5, 2.5, 2.5, 5.0), 1),
+    "repvgg_b2g2": ((4, 6, 16, 1), (2.5, 2.5, 2.5, 5.0), 2),
+    "repvgg_b2g4": ((4, 6, 16, 1), (2.5, 2.5, 2.5, 5.0), 4),
+    "repvgg_b3": ((4, 6, 16, 1), (3.0, 3.0, 3.0, 5.0), 1),
+    "repvgg_b3g2": ((4, 6, 16, 1), (3.0, 3.0, 3.0, 5.0), 2),
+    "repvgg_b3g4": ((4, 6, 16, 1), (3.0, 3.0, 3.0, 5.0), 4),
 }
 _BASE = (64, 128, 256, 512)
 
@@ -27,6 +39,7 @@ class RepVGGBlock(nn.Module):
     out_channels: int
     stride: int = 1
     deploy: bool = False
+    groups: int = 1
     bn_momentum: float = 0.9     # torch BN defaults; YOLOv6 inits use
     bn_eps: float = 1e-5         # momentum 0.03 / eps 1e-3 (repbipan.py:60)
 
@@ -35,15 +48,18 @@ class RepVGGBlock(nn.Module):
         in_ch = x.shape[-1]
         if self.deploy:
             y = nn.Conv(self.out_channels, (3, 3), strides=self.stride,
-                        padding=1, name="reparam")(x)
+                        padding=1, feature_group_count=self.groups,
+                        name="reparam")(x)
             return nn.relu(y)
         bn = dict(use_running_average=not train, momentum=self.bn_momentum,
                   epsilon=self.bn_eps)
         y3 = nn.Conv(self.out_channels, (3, 3), strides=self.stride,
-                     padding=1, use_bias=False, name="conv3")(x)
+                     padding=1, use_bias=False,
+                     feature_group_count=self.groups, name="conv3")(x)
         y3 = nn.BatchNorm(**bn, name="bn3")(y3)
         y1 = nn.Conv(self.out_channels, (1, 1), strides=self.stride,
-                     use_bias=False, name="conv1")(x)
+                     use_bias=False, feature_group_count=self.groups,
+                     name="conv1")(x)
         y1 = nn.BatchNorm(**bn, name="bn1")(y1)
         out = y3 + y1
         if self.stride == 1 and in_ch == self.out_channels:
@@ -91,14 +107,23 @@ class RepVGG(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        blocks, widths = _SPECS[self.subtype]
+        key = self.subtype.lower().replace("-", "_")
+        blocks, widths, g = _SPECS[key]
         chs = [int(b * w) for b, w in zip(_BASE, widths)]
+        # reference quirk (repvgg.py:167,184): `last_channel = 512` is
+        # truthy, so stage4 is ALWAYS 512 channels — width_multiplier[3]
+        # never applies upstream; replicated for weight-porting parity
+        chs[3] = 512
         x = RepVGGBlock(min(64, chs[0]), 2, self.deploy, name="stem")(x, train)
         feats = []
+        layer_idx = 1  # stem is layer 0 (reference cur_layer_idx=1)
         for si, (n, ch) in enumerate(zip(blocks, chs), start=1):
             for j in range(n):
+                groups = g if (g > 1 and layer_idx in _G_LAYERS) else 1
                 x = RepVGGBlock(ch, 2 if j == 0 else 1, self.deploy,
+                                groups=groups,
                                 name=f"stage{si}_block{j}")(x, train)
+                layer_idx += 1
             if si in self.out_stages and not self.classifier:
                 feats.append(x)
         if self.classifier:

@@ -91,8 +91,9 @@ class NanoDetPlus(nn.Module):
         aux_preds = None
         if self.aux_head is not None and train:
             aux_preds = self.aux_head(feats, train=train)
-        h, w = images.shape[1:3]
-        sizes = [(h // s, w // s) for s in self.strides]
+        # sizes come from the ACTUAL pyramid maps, not h//stride: the
+        # stride-64 extra level is a ceil-division conv (416/64 → 7, not 6)
+        sizes = [f.shape[1:3] for f in feats]
         priors = center_priors(sizes, tuple(self.strides))
         return preds, aux_preds, priors
 

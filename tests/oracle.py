@@ -132,6 +132,20 @@ def _make_torchvision():
         "shufflenetv2_x2.0")}
     models.shufflenetv2 = shuffle_mod
 
+    vgg_mod = types.ModuleType("torchvision.models.vgg")
+    for name in ("vgg11", "vgg13", "vgg16", "vgg19",
+                 "vgg11_bn", "vgg13_bn", "vgg16_bn", "vgg19_bn"):
+        def _vfactory(pretrained=False, _name=name, **kw):
+            if pretrained:
+                raise RuntimeError("zero-egress: no pretrained weights")
+            return getattr(_lazy_models(), _name)(**kw)
+        setattr(vgg_mod, name, _vfactory)
+        setattr(models, name, _vfactory)
+    vgg_mod.model_urls = {n: "" for n in (
+        "vgg11", "vgg13", "vgg16", "vgg19",
+        "vgg11_bn", "vgg13_bn", "vgg16_bn", "vgg19_bn")}
+    models.vgg = vgg_mod
+
     detection = types.ModuleType("torchvision.models.detection")
     detection.maskrcnn_resnet50_fpn = _Unavailable
     detection.fasterrcnn_resnet50_fpn = _Unavailable
@@ -149,6 +163,7 @@ def _make_torchvision():
         "torchvision.models.resnet": resnet_mod,
         "torchvision.models.mobilenet": mb_mod,
         "torchvision.models.mobilenetv2": mbv2_mod,
+        "torchvision.models.vgg": vgg_mod,
         "torchvision.models.detection": detection,
     }
     return mods

@@ -291,3 +291,83 @@ def shufflenet_v2_x1_5(**kw):
 
 def shufflenet_v2_x2_0(**kw):
     return ShuffleNetV2([4, 8, 4], [24, 244, 488, 976, 2048], **kw)
+
+
+# ---------------------------------------------------------------- VGG
+# torchvision-layout VGG: the reference wrapper (src/models/backbones/
+# vgg.py:41-151) slices ``features.children()`` by exact child index, so
+# the Sequential layout (Conv[,BN],ReLU per conv; MaxPool between
+# groups) must match torchvision's make_layers precisely.
+
+_VGG_CFGS = {
+    "A": [64, "M", 128, "M", 256, 256, "M", 512, 512, "M", 512, 512, "M"],
+    "B": [64, 64, "M", 128, 128, "M", 256, 256, "M", 512, 512, "M",
+          512, 512, "M"],
+    "D": [64, 64, "M", 128, 128, "M", 256, 256, 256, "M", 512, 512, 512,
+          "M", 512, 512, 512, "M"],
+    "E": [64, 64, "M", 128, 128, "M", 256, 256, 256, 256, "M", 512, 512,
+          512, 512, "M", 512, 512, 512, 512, "M"],
+}
+
+
+def _vgg_features(cfg, batch_norm):
+    layers, in_ch = [], 3
+    for v in cfg:
+        if v == "M":
+            layers.append(nn.MaxPool2d(kernel_size=2, stride=2))
+        else:
+            layers.append(nn.Conv2d(in_ch, v, kernel_size=3, padding=1))
+            if batch_norm:
+                layers.append(nn.BatchNorm2d(v))
+            layers.append(nn.ReLU(inplace=True))
+            in_ch = v
+    return nn.Sequential(*layers)
+
+
+class TVVGG(nn.Module):
+    def __init__(self, cfg, batch_norm=False, num_classes=1000):
+        super().__init__()
+        self.features = _vgg_features(_VGG_CFGS[cfg], batch_norm)
+        self.avgpool = nn.AdaptiveAvgPool2d((7, 7))
+        self.classifier = nn.Sequential(
+            nn.Linear(512 * 7 * 7, 4096), nn.ReLU(True), nn.Dropout(),
+            nn.Linear(4096, 4096), nn.ReLU(True), nn.Dropout(),
+            nn.Linear(4096, num_classes))
+
+    def forward(self, x):
+        x = self.features(x)
+        x = self.avgpool(x)
+        x = torch.flatten(x, 1)
+        return self.classifier(x)
+
+
+def vgg11(**kw):
+    return TVVGG("A", False, **kw)
+
+
+def vgg13(**kw):
+    return TVVGG("B", False, **kw)
+
+
+def vgg16(**kw):
+    return TVVGG("D", False, **kw)
+
+
+def vgg19(**kw):
+    return TVVGG("E", False, **kw)
+
+
+def vgg11_bn(**kw):
+    return TVVGG("A", True, **kw)
+
+
+def vgg13_bn(**kw):
+    return TVVGG("B", True, **kw)
+
+
+def vgg16_bn(**kw):
+    return TVVGG("D", True, **kw)
+
+
+def vgg19_bn(**kw):
+    return TVVGG("E", True, **kw)

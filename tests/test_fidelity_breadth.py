@@ -1836,3 +1836,248 @@ def test_yolop_segment_head_matches_reference():
     got = model.apply({"params": params, "batch_stats": stats}, xs,
                       (64, 64), train=False)
     _allclose_rel(np.asarray(got).transpose(0, 3, 1, 2), want, atol=1e-4)
+
+
+def test_repvgg_backbone_matches_reference():
+    """RepVGG-A0 backbone vs /root/reference/src/models/backbones/
+    repvgg.py:37-224 — 3×3+1×1+identity branch sum blocks, incl. the
+    upstream quirk that ``last_channel = 512`` always overrides
+    width_multiplier[3] for stage4."""
+    from src.models.backbones.repvgg import RepVGG as RefRepVGG
+
+    from cvpytorch_tpu.models.backbones.repvgg import RepVGG
+
+    torch.manual_seed(0)
+    ref = RefRepVGG(subtype="RepVGG_A0", out_stages=[2, 3, 4],
+                    pretrained=False)
+    _randomize_bn(ref)
+    ref.eval()
+    x = np.random.RandomState(25).rand(1, 3, 64, 64).astype(np.float32)
+    with torch.no_grad():
+        want = [o.numpy() for o in ref(to_torch(x))]
+
+    sd = ref.state_dict()
+
+    def block(prefix):
+        p, st = {}, {}
+        p["conv3"] = {"kernel": sd[f"{prefix}.rbr_dense.0.weight"].numpy()
+                      .transpose(2, 3, 1, 0)}
+        p["bn3"] = {"scale": sd[f"{prefix}.rbr_dense.1.weight"].numpy(),
+                    "bias": sd[f"{prefix}.rbr_dense.1.bias"].numpy()}
+        st["bn3"] = {
+            "mean": sd[f"{prefix}.rbr_dense.1.running_mean"].numpy(),
+            "var": sd[f"{prefix}.rbr_dense.1.running_var"].numpy()}
+        p["conv1"] = {"kernel": sd[f"{prefix}.rbr_1x1.0.weight"].numpy()
+                      .transpose(2, 3, 1, 0)}
+        p["bn1"] = {"scale": sd[f"{prefix}.rbr_1x1.1.weight"].numpy(),
+                    "bias": sd[f"{prefix}.rbr_1x1.1.bias"].numpy()}
+        st["bn1"] = {
+            "mean": sd[f"{prefix}.rbr_1x1.1.running_mean"].numpy(),
+            "var": sd[f"{prefix}.rbr_1x1.1.running_var"].numpy()}
+        if f"{prefix}.rbr_identity.weight" in sd:
+            p["bnid"] = {
+                "scale": sd[f"{prefix}.rbr_identity.weight"].numpy(),
+                "bias": sd[f"{prefix}.rbr_identity.bias"].numpy()}
+            st["bnid"] = {
+                "mean": sd[f"{prefix}.rbr_identity.running_mean"].numpy(),
+                "var": sd[f"{prefix}.rbr_identity.running_var"].numpy()}
+        return p, st
+
+    params, stats = {}, {}
+    p, st = block("stage0")
+    params["stem"], stats["stem"] = p, st
+    blocks = (2, 4, 14, 1)
+    for si, n in enumerate(blocks, start=1):
+        for j in range(n):
+            p, st = block(f"stage{si}.{j}")
+            params[f"stage{si}_block{j}"], stats[f"stage{si}_block{j}"] = \
+                p, st
+
+    model = RepVGG(subtype="RepVGG-A0", out_stages=(2, 3, 4))
+    xs = jnp.asarray(x.transpose(0, 2, 3, 1))
+    variables = model.init(jax.random.PRNGKey(0), xs)
+    errs = verify_tree_shapes(params, dict(variables["params"]))
+    assert not errs, errs
+    feats = model.apply({"params": params, "batch_stats": stats}, xs,
+                        train=False)
+    for got, w in zip(feats, want):
+        _allclose_rel(np.asarray(got).transpose(0, 3, 1, 2), w, atol=1e-4)
+
+
+def test_repvgg_grouped_backbone_matches_reference():
+    """RepVGG-B1g4 vs reference — the override_groups_map puts groups=4 on
+    every even layer index (repvgg.py:17-19); checks the flax
+    feature_group_count wiring and layer-index bookkeeping."""
+    from src.models.backbones.repvgg import RepVGG as RefRepVGG
+
+    from cvpytorch_tpu.models.backbones.repvgg import RepVGG
+
+    torch.manual_seed(1)
+    ref = RefRepVGG(subtype="RepVGG_B1g4", out_stages=[4], pretrained=False)
+    _randomize_bn(ref)
+    ref.eval()
+    x = np.random.RandomState(26).rand(1, 3, 64, 64).astype(np.float32)
+    with torch.no_grad():
+        want = ref(to_torch(x)).numpy()
+
+    sd = ref.state_dict()
+
+    def block(prefix):
+        p, st = {}, {}
+        p["conv3"] = {"kernel": sd[f"{prefix}.rbr_dense.0.weight"].numpy()
+                      .transpose(2, 3, 1, 0)}
+        p["bn3"] = {"scale": sd[f"{prefix}.rbr_dense.1.weight"].numpy(),
+                    "bias": sd[f"{prefix}.rbr_dense.1.bias"].numpy()}
+        st["bn3"] = {
+            "mean": sd[f"{prefix}.rbr_dense.1.running_mean"].numpy(),
+            "var": sd[f"{prefix}.rbr_dense.1.running_var"].numpy()}
+        p["conv1"] = {"kernel": sd[f"{prefix}.rbr_1x1.0.weight"].numpy()
+                      .transpose(2, 3, 1, 0)}
+        p["bn1"] = {"scale": sd[f"{prefix}.rbr_1x1.1.weight"].numpy(),
+                    "bias": sd[f"{prefix}.rbr_1x1.1.bias"].numpy()}
+        st["bn1"] = {
+            "mean": sd[f"{prefix}.rbr_1x1.1.running_mean"].numpy(),
+            "var": sd[f"{prefix}.rbr_1x1.1.running_var"].numpy()}
+        if f"{prefix}.rbr_identity.weight" in sd:
+            p["bnid"] = {
+                "scale": sd[f"{prefix}.rbr_identity.weight"].numpy(),
+                "bias": sd[f"{prefix}.rbr_identity.bias"].numpy()}
+            st["bnid"] = {
+                "mean": sd[f"{prefix}.rbr_identity.running_mean"].numpy(),
+                "var": sd[f"{prefix}.rbr_identity.running_var"].numpy()}
+        return p, st
+
+    params, stats = {}, {}
+    params["stem"], stats["stem"] = block("stage0")
+    for si, n in enumerate((4, 6, 16, 1), start=1):
+        for j in range(n):
+            params[f"stage{si}_block{j}"], stats[f"stage{si}_block{j}"] = \
+                block(f"stage{si}.{j}")
+
+    model = RepVGG(subtype="RepVGG_B1g4", out_stages=(4,))
+    xs = jnp.asarray(x.transpose(0, 2, 3, 1))
+    variables = model.init(jax.random.PRNGKey(0), xs)
+    errs = verify_tree_shapes(params, dict(variables["params"]))
+    assert not errs, errs
+    (got,) = model.apply({"params": params, "batch_stats": stats}, xs,
+                         train=False)
+    _allclose_rel(np.asarray(got).transpose(0, 3, 1, 2), want, atol=1e-4)
+
+
+def _randomize_convs(module, std_scale=1.0):
+    """Reference VGG init_weights uses std=0.001 (vgg.py:171-179) which
+    collapses deep activations to ~0; re-init kaiming so parity checks
+    compare non-degenerate numerics."""
+    g = torch.Generator().manual_seed(11)
+    for m in module.modules():
+        if isinstance(m, torch.nn.Conv2d):
+            with torch.no_grad():
+                fan_in = m.weight.shape[1] * m.weight.shape[2] * m.weight.shape[3]
+                m.weight.copy_(torch.randn(m.weight.shape, generator=g)
+                               * (2.0 / fan_in) ** 0.5 * std_scale)
+                if m.bias is not None:
+                    m.bias.copy_(torch.randn(m.bias.shape, generator=g) * 0.05)
+
+
+def _port_vgg(sd, subtype):
+    """Reference VGG slices torchvision ``features`` into conv1 +
+    layer1..4 (+ separate pools, vgg.py:70-155); convs sit at stride-3
+    (bn) / stride-2 (plain) child offsets."""
+    reps = {"vgg11": (1, 1, 2, 2, 2), "vgg13": (2, 2, 2, 2, 2),
+            "vgg16": (2, 2, 3, 3, 3), "vgg19": (2, 2, 4, 4, 4)}[
+                subtype.replace("_bn", "")]
+    use_bn = subtype.endswith("_bn")
+    step = 3 if use_bn else 2
+    params, stats = {}, {}
+    for si in range(5):
+        prefix = "conv1" if si == 0 else f"layer{si}"
+        for bi in range(reps[si]):
+            ci = bi * step
+            name = f"stage{si}_conv{bi}"
+            p = {"conv": {
+                "kernel": sd[f"{prefix}.{ci}.weight"].numpy()
+                .transpose(2, 3, 1, 0),
+                "bias": sd[f"{prefix}.{ci}.bias"].numpy()}}
+            st = {}
+            if use_bn:
+                p["bn"] = {"scale": sd[f"{prefix}.{ci+1}.weight"].numpy(),
+                           "bias": sd[f"{prefix}.{ci+1}.bias"].numpy()}
+                st["bn"] = {
+                    "mean": sd[f"{prefix}.{ci+1}.running_mean"].numpy(),
+                    "var": sd[f"{prefix}.{ci+1}.running_var"].numpy()}
+            params[name] = p
+            if st:
+                stats[name] = st
+    return params, stats
+
+
+@pytest.mark.parametrize("subtype,out_stages",
+                         [("vgg16_bn", (2, 3, 4)), ("vgg11", (1, 4))])
+def test_vgg_backbone_matches_reference(subtype, out_stages):
+    """VGG vs /root/reference/src/models/backbones/vgg.py:31-196 —
+    pre-pool stage capture with conv1 absorbing the first maxpool."""
+    from src.models.backbones.vgg import VGG as RefVGG
+
+    from cvpytorch_tpu.models.backbones.vgg import VGG
+
+    torch.manual_seed(0)
+    ref = RefVGG(subtype=subtype, out_stages=list(out_stages),
+                 pretrained=False)
+    _randomize_convs(ref)
+    _randomize_bn(ref)
+    ref.eval()
+    x = np.random.RandomState(30).rand(1, 3, 64, 64).astype(np.float32)
+    with torch.no_grad():
+        want = ref(to_torch(x))
+        want = [o.numpy() for o in (want if isinstance(want, list)
+                                    else [want])]
+
+    params, stats = _port_vgg(ref.state_dict(), subtype)
+    model = VGG(subtype=subtype, out_stages=out_stages)
+    xs = jnp.asarray(x.transpose(0, 2, 3, 1))
+    variables = model.init(jax.random.PRNGKey(0), xs)
+    errs = verify_tree_shapes(params, dict(variables["params"]))
+    assert not errs, errs
+    feats = model.apply({"params": params, "batch_stats": stats}, xs,
+                        train=False)
+    assert len(feats) == len(want)
+    for got, w in zip(feats, want):
+        _allclose_rel(np.asarray(got).transpose(0, 3, 1, 2), w, atol=1e-4)
+
+
+def test_vgg_classifier_matches_reference():
+    """VGG classifier head vs reference vgg.py:163-166,198-201 (7×7
+    adaptive avgpool → torchvision 4096/4096/K MLP; flatten is CHW-major
+    in torch so fc1 weights are permuted when porting to NHWC)."""
+    from src.models.backbones.vgg import VGG as RefVGG
+
+    from cvpytorch_tpu.models.backbones.vgg import VGG
+
+    torch.manual_seed(0)
+    ref = RefVGG(subtype="vgg11_bn", classifier=True, num_classes=10,
+                 pretrained=False)
+    _randomize_convs(ref)
+    _randomize_bn(ref)
+    ref.eval()
+    x = np.random.RandomState(31).rand(1, 3, 224, 224).astype(np.float32)
+    with torch.no_grad():
+        want = ref(to_torch(x)).numpy()
+
+    sd = ref.state_dict()
+    params, stats = _port_vgg(sd, "vgg11_bn")
+    w1 = sd["fc.0.weight"].numpy()  # (4096, 512*7*7) CHW-major
+    params["fc1"] = {
+        "kernel": w1.reshape(4096, 512, 7, 7).transpose(0, 2, 3, 1)
+        .reshape(4096, -1).T,
+        "bias": sd["fc.0.bias"].numpy()}
+    params["fc2"] = _dense(sd, "fc.3")
+    params["fc3"] = _dense(sd, "fc.6")
+
+    model = VGG(subtype="vgg11_bn", classifier=True, num_classes=10)
+    xs = jnp.asarray(x.transpose(0, 2, 3, 1))
+    variables = model.init(jax.random.PRNGKey(0), xs)
+    errs = verify_tree_shapes(params, dict(variables["params"]))
+    assert not errs, errs
+    got = model.apply({"params": params, "batch_stats": stats}, xs,
+                      train=False)
+    _allclose_rel(np.asarray(got), want, atol=1e-4)
