@@ -57,15 +57,41 @@ class SimCSPSPPF(nn.Module):
         return cba(jnp.concatenate([y0, z], -1), self.out_channels, 1, "cv7")
 
 
+class SimSPPF(nn.Module):
+    """Serial SPPF with ReLU convs — the reference SPPF with an int
+    kernel size (yolo_modules.py:165-191, act_cfg ReLU), used by
+    YOLOXPAIEfficientRep's stage 4 (yolox_pai_efficient_rep.py:54)."""
+
+    out_channels: int
+    kernel_size: int = 5
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c_ = x.shape[-1] // 2
+        x = ConvBNAct(c_, 1, act="relu", **_BN, name="conv1")(x, train)
+        k = self.kernel_size
+        pool = lambda t: nn.max_pool(
+            t, (k, k), strides=(1, 1), padding=((k // 2,) * 2,) * 2)
+        y1 = pool(x)
+        y2 = pool(y1)
+        y = jnp.concatenate([x, y1, y2, pool(y2)], -1)
+        return ConvBNAct(self.out_channels, 1, act="relu", **_BN,
+                         name="conv2")(y, train)
+
+
 class EfficientRep(nn.Module):
     """(reference: backbones/det/yolov6_efficient_rep.py — v6-3.0: stage
-    = [RepVGG down, RepBlock, (SimCSPSPPF on stage4)])"""
+    = [RepVGG down, RepBlock, (SimCSPSPPF on stage4)]).  ``sppf='relu'``
+    swaps the CSP pyramid pool for the plain serial ReLU SPPF, which is
+    the PAI-YOLOX backbone (yolox_pai_efficient_rep.py:36-56 — same
+    stem/stage plan, SPPF(kernel 5, ReLU) terminating stage 4)."""
 
     depth_mul: float = 0.33
     width_mul: float = 0.5
     out_channels: Sequence[int] = (64, 128, 256, 512, 1024)
     num_blocks: Sequence[int] = (6, 12, 18, 6)
     out_stages: Sequence[int] = (2, 3, 4)
+    sppf: str = "simcsp"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -77,7 +103,10 @@ class EfficientRep(nn.Module):
             x = RepVGGBlock(chs[i + 1], 2, name=f"stage{i+1}_down")(x, train)
             x = _rep_block(x, chs[i + 1], blocks[i], train, f"stage{i+1}")
             if i == 3:
-                x = SimCSPSPPF(chs[4], name="sppf")(x, train)
+                if self.sppf == "relu":
+                    x = SimSPPF(chs[4], name="sppf")(x, train)
+                else:
+                    x = SimCSPSPPF(chs[4], name="sppf")(x, train)
             if i + 1 in self.out_stages:
                 feats.append(x)
         return tuple(feats)

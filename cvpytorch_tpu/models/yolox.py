@@ -187,10 +187,12 @@ class YOLOX(nn.Module):
         if is_pai or "EfficientRep" in str(bget("name") or ""):
             # PAI-YOLOX swaps in a RepVGG-block backbone
             # (reference backbones/det/yolox_pai_efficient_rep.py:16,
-            # num_blocks [6,12,18,6] — same plan as our EfficientRep)
+            # num_blocks [6,12,18,6] — EfficientRep plan but stage 4
+            # ends in the plain serial ReLU SPPF, not SimCSPSPPF)
             from .yolov6 import EfficientRep
 
-            self.backbone = EfficientRep(depth_mul=dm, width_mul=wm)
+            self.backbone = EfficientRep(depth_mul=dm, width_mul=wm,
+                                         sppf="relu")
         else:
             self.backbone = YOLOXCSPDarknet(depth_mul=dm, width_mul=wm)
         self.neck_up1 = UpsampleFuse(make_divisible(512 * wm),

@@ -93,7 +93,8 @@ def _make_torchvision():
 
     resnet_mod = types.ModuleType("torchvision.models.resnet")
     for name in ("resnet18", "resnet34", "resnet50", "resnet101",
-                 "resnet152"):
+                 "resnet152", "resnext50_32x4d", "resnext101_32x8d",
+                 "wide_resnet50_2", "wide_resnet101_2"):
         def _factory(pretrained=False, _name=name, **kw):
             if pretrained:
                 raise RuntimeError("zero-egress: no pretrained weights")
@@ -114,6 +115,10 @@ def _make_torchvision():
     mb_mod.mobilenet_v2 = mobilenet_v2
     mb_mod.model_urls = {"mobilenet_v2": ""}
     models.mobilenet_v2 = mobilenet_v2
+    resnet_mod.model_urls = {n: "" for n in (
+        "resnet18", "resnet34", "resnet50", "resnet101", "resnet152",
+        "resnext50_32x4d", "resnext101_32x8d",
+        "wide_resnet50_2", "wide_resnet101_2")}
     models.resnet = resnet_mod
     models.mobilenet = mb_mod
     models.mobilenetv2 = mbv2_mod

@@ -2081,3 +2081,124 @@ def test_vgg_classifier_matches_reference():
     got = model.apply({"params": params, "batch_stats": stats}, xs,
                       train=False)
     _allclose_rel(np.asarray(got), want, atol=1e-4)
+
+
+def test_pai_efficientrep_matches_reference():
+    """PAI-YOLOX backbone vs /root/reference/src/models/backbones/det/
+    yolox_pai_efficient_rep.py:16-66 — RepVGG stem + 4 RepVGG stages,
+    stage 4 terminated by the plain serial ReLU SPPF (kernel 5).
+
+    Upstream quirks (documented parity):
+    * ``YOLOXPAIEfficientRep('yolox_pai_s')`` — the subtype its own
+      ``__main__`` uses — crashes: base_yolo_backbone.py:42 re-splits
+      the subtype and ``'pai'`` is not in the size table (KeyError);
+      ``'yolox_s'`` constructs the intended s-size model.
+    * conf/coco_pai_yolox*.yml:65 name ``'PAI_YOLOXBackbone'`` which
+      build_backbone does not accept (backbones/__init__.py:60-135) —
+      the conf-named twin in backbones/pai_yolox_backbone.py is itself
+      dead code (its Focus-less RepVGGBlock path is fine but nothing
+      routes to it).
+    """
+    from src.models.backbones.det.yolox_pai_efficient_rep import (
+        YOLOXPAIEfficientRep,
+    )
+
+    from cvpytorch_tpu.models.yolov6 import EfficientRep
+
+    torch.manual_seed(3)
+    ref = YOLOXPAIEfficientRep("yolox_s")  # see quirk note above
+    _randomize_bn(ref)
+    ref.eval()
+    x = np.random.RandomState(40).rand(1, 3, 64, 64).astype(np.float32)
+    with torch.no_grad():
+        want = [o.numpy() for o in ref(to_torch(x))]
+
+    sd = ref.state_dict()
+
+    def block(prefix):
+        """yolo_modules.RepVGGBlock (ConvModule children .conv/.bn)."""
+        p, st = {}, {}
+        p["conv3"] = {"kernel": sd[f"{prefix}.rbr_dense.conv.weight"]
+                      .numpy().transpose(2, 3, 1, 0)}
+        p["bn3"] = {"scale": sd[f"{prefix}.rbr_dense.bn.weight"].numpy(),
+                    "bias": sd[f"{prefix}.rbr_dense.bn.bias"].numpy()}
+        st["bn3"] = {
+            "mean": sd[f"{prefix}.rbr_dense.bn.running_mean"].numpy(),
+            "var": sd[f"{prefix}.rbr_dense.bn.running_var"].numpy()}
+        p["conv1"] = {"kernel": sd[f"{prefix}.rbr_1x1.conv.weight"]
+                      .numpy().transpose(2, 3, 1, 0)}
+        p["bn1"] = {"scale": sd[f"{prefix}.rbr_1x1.bn.weight"].numpy(),
+                    "bias": sd[f"{prefix}.rbr_1x1.bn.bias"].numpy()}
+        st["bn1"] = {
+            "mean": sd[f"{prefix}.rbr_1x1.bn.running_mean"].numpy(),
+            "var": sd[f"{prefix}.rbr_1x1.bn.running_var"].numpy()}
+        if f"{prefix}.rbr_identity.weight" in sd:
+            p["bnid"] = {
+                "scale": sd[f"{prefix}.rbr_identity.weight"].numpy(),
+                "bias": sd[f"{prefix}.rbr_identity.bias"].numpy()}
+            st["bnid"] = {
+                "mean": sd[f"{prefix}.rbr_identity.running_mean"].numpy(),
+                "var": sd[f"{prefix}.rbr_identity.running_var"].numpy()}
+        return p, st
+
+    def convbn(prefix):
+        p = {"conv": {"kernel": sd[f"{prefix}.conv.weight"].numpy()
+                      .transpose(2, 3, 1, 0)},
+             "bn": {"scale": sd[f"{prefix}.bn.weight"].numpy(),
+                    "bias": sd[f"{prefix}.bn.bias"].numpy()}}
+        st = {"bn": {"mean": sd[f"{prefix}.bn.running_mean"].numpy(),
+                     "var": sd[f"{prefix}.bn.running_var"].numpy()}}
+        return p, st
+
+    params, stats = {}, {}
+    params["stem"], stats["stem"] = block("stem")
+    for si, n in enumerate((2, 4, 6, 2), start=1):
+        params[f"stage{si}_down"], stats[f"stage{si}_down"] = \
+            block(f"stage{si}.0")
+        params[f"stage{si}_conv1"], stats[f"stage{si}_conv1"] = \
+            block(f"stage{si}.1")
+        for j in range(n - 1):
+            params[f"stage{si}_block{j}"], stats[f"stage{si}_block{j}"] = \
+                block(f"stage{si}.{j + 2}")
+    p1, st1 = convbn("stage4.3.conv1")
+    p2, st2 = convbn("stage4.3.conv2")
+    params["sppf"] = {"conv1": p1, "conv2": p2}
+    stats["sppf"] = {"conv1": st1, "conv2": st2}
+
+    model = EfficientRep(depth_mul=0.33, width_mul=0.5, sppf="relu")
+    xs = jnp.asarray(x.transpose(0, 2, 3, 1))
+    variables = model.init(jax.random.PRNGKey(0), xs)
+    errs = verify_tree_shapes(params, dict(variables["params"]))
+    assert not errs, errs
+    feats = model.apply({"params": params, "batch_stats": stats}, xs,
+                        train=False)
+    for got, w in zip(feats, want):
+        _allclose_rel(np.asarray(got).transpose(0, 3, 1, 2), w, atol=1e-4)
+
+
+def test_reference_cspdarknet_unbuildable_documented():
+    """The reference's standalone AIRDet-style CspDarkNet
+    (/root/reference/src/models/backbones/csp_darknet.py:21-67) is dead
+    code upstream — recorded here so the parity ledger shows WHY there is
+    no oracle test for it (same documentation pattern as YOLOv7Backbone
+    and LFD):
+
+    * Direct construction crashes: csp_darknet.py:39 calls
+      ``Focus(3, ch, ksize=3, act=act)`` but yolox_modules.Focus takes
+      ``act_cfg`` (and its body references an undefined name ``act``,
+      yolox_modules.py:141) → TypeError.
+    * conf/det/yolox/coco_yolox_{n,s}.yml:66 pass ``depthwise`` which
+      ``CspDarkNet.__init__`` does not accept → TypeError via
+      build_backbone's ``**cfg``.
+    * conf/coco_airdet.yml:65 names ``'CspDarkNet'`` while
+      build_backbone matches ``'CSPDarknet'``
+      (backbones/__init__.py:111-112) → NotImplementedError.
+
+    Our AIRDet therefore uses the repo's oracle-tested CSPDarknet family
+    (YOLOv5CSPDarknet); the YOLOX confs map to the oracle-tested
+    YOLOXCSPDarknet chain."""
+    from src.models.backbones.csp_darknet import CspDarkNet
+
+    with pytest.raises(TypeError):
+        CspDarkNet(subtype="cspdark_s", out_stages=[2, 3, 4],
+                   depth_mul=0.33, width_mul=0.5)
