@@ -1,5 +1,13 @@
 """ConvNeXt T/S/B/L (reference: src/models/backbones/convnext.py wrapping
-torchvision; native Flax/NHWC — Liu et al., arXiv:2201.03545)."""
+torchvision; native Flax/NHWC — Liu et al., arXiv:2201.03545).
+
+Stage semantics follow the reference wrapper (convnext.py:51-56): stem =
+features[0], stage1 = the first block stack, stage2..4 = downsample+blocks,
+so out_stages index into out_channels [C,C,2C,4C,8C].  Upstream quirk NOT
+replicated: the wrapper's convnext_large out_channels metadata claims
+[256,...,2048] (convnext.py:43) but torchvision convnext_large is
+(192,384,768,1536) — the metadata is wrong upstream, actual tensors (and
+ours) are torchvision's."""
 from __future__ import annotations
 
 from typing import Sequence
@@ -29,7 +37,7 @@ class ConvNeXtBlock(nn.Module):
                     name="dwconv")(x)
         h = nn.LayerNorm(name="norm")(h)
         h = nn.Dense(4 * self.dim, name="pw1")(h)
-        h = nn.gelu(h)
+        h = nn.gelu(h, approximate=False)  # torch GELU is exact erf
         h = nn.Dense(self.dim, name="pw2")(h)
         gamma = self.param("gamma", nn.initializers.constant(self.layer_scale),
                            (self.dim,))

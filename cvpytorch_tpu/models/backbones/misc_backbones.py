@@ -27,30 +27,42 @@ class Fire(nn.Module):
 
 @BACKBONES.register(name="SqueezeNet", aliases=("squeezenet",))
 class SqueezeNet(nn.Module):
+    """SqueezeNet 1.1 (reference: src/models/backbones/squeezenet.py:38-43
+    slicing torchvision features) — stem is conv(64,3×3,s2,VALID)+ReLU
+    only; each layer starts with its ceil-mode 3×3/2 maxpool (emulated by
+    a right/bottom pad column, exact for every N) and ends after its Fire
+    stack, so out_stages index into out_channels [64,128,256,512].
+
+    Upstream quirks NOT replicated (documented parity): the reference's
+    ``out_channels = [96,128,256,512]`` metadata is squeezenet1_0's plan
+    (actual 1_1 stem is 64), and classifier mode applies ``self.fc``
+    (512-in conv) after layer1's 128-channel output inside the stage loop
+    (squeezenet.py:70-73) — a shape crash; our classifier is the intent
+    (fc after layer3, as torchvision)."""
+
     subtype: str = "squeezenet1_1"
-    out_stages: Sequence[int] = (2, 3, 4)
+    out_stages: Sequence[int] = (1, 2, 3)
     classifier: bool = False
     num_classes: int = 1000
     pretrained: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        x = nn.relu(nn.Conv(64, (3, 3), strides=2, name="stem")(x))
-        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((0, 1), (0, 1)))
+        pool = lambda t: nn.max_pool(
+            t, (3, 3), strides=(2, 2), padding=((0, 1), (0, 1)))
+        x = nn.relu(nn.Conv(64, (3, 3), strides=2, padding="VALID",
+                            name="stem")(x))
+        plan = ((16, 64, 2), (32, 128, 2), (48, 192, 2))
         feats = []
-        x = Fire(16, 64, name="fire2")(x)
-        x = Fire(16, 64, name="fire3")(x)
-        feats.append(x)
-        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((0, 1), (0, 1)))
-        x = Fire(32, 128, name="fire4")(x)
-        x = Fire(32, 128, name="fire5")(x)
-        feats.append(x)
-        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((0, 1), (0, 1)))
-        x = Fire(48, 192, name="fire6")(x)
-        x = Fire(48, 192, name="fire7")(x)
-        x = Fire(64, 256, name="fire8")(x)
-        x = Fire(64, 256, name="fire9")(x)
-        feats.append(x)
+        for si, (sq, ex, n) in enumerate(plan, start=1):
+            x = pool(x)
+            for j in range(n):
+                x = Fire(sq, ex, name=f"layer{si}_fire{j}")(x)
+            if si == 3:
+                for j in range(2):
+                    x = Fire(64, 256, name=f"layer3_fire{j + 2}")(x)
+            if si in self.out_stages and not self.classifier:
+                feats.append(x)
         if self.classifier:
             x = nn.Dropout(0.5, deterministic=not train)(x)
             x = nn.relu(nn.Conv(self.num_classes, (1, 1), name="cls_conv")(x))

@@ -135,17 +135,21 @@ class DepthwiseSeparableConv(nn.Module):
 
 
 class SqueezeExcite(nn.Module):
-    """SE attention (reference: modules/attentions.py)."""
+    """SE attention (reference: modules/attentions.py).  ``squeeze_ch``
+    overrides the reduced width (torchvision mobilenet_v3 uses
+    make_divisible(ch//4, 8), not max(ch//4, 8))."""
 
     reduce_ratio: int = 4
     gate: str = "hsigmoid"
     act: str = "relu"
+    squeeze_ch: int = 0
 
     @nn.compact
     def __call__(self, x):
         ch = x.shape[-1]
+        sq = self.squeeze_ch or max(ch // self.reduce_ratio, 8)
         s = jnp.mean(x, axis=(1, 2), keepdims=True)
-        s = nn.Conv(max(ch // self.reduce_ratio, 8), (1, 1), name="fc1")(s)
+        s = nn.Conv(sq, (1, 1), name="fc1")(s)
         s = get_activation(self.act)(s)
         s = nn.Conv(ch, (1, 1), name="fc2")(s)
         return x * get_activation(self.gate)(s)

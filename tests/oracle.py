@@ -114,6 +114,18 @@ def _make_torchvision():
     mb_mod = types.ModuleType("torchvision.models.mobilenet")
     mb_mod.mobilenet_v2 = mobilenet_v2
     mb_mod.model_urls = {"mobilenet_v2": ""}
+    mbv3_mod = types.ModuleType("torchvision.models.mobilenetv3")
+    for name in ("mobilenet_v3_small", "mobilenet_v3_large"):
+        def _m3factory(pretrained=False, _name=name, **kw):
+            if pretrained:
+                raise RuntimeError("zero-egress: no pretrained weights")
+            return getattr(_lazy_models(), _name)(**kw)
+        setattr(mbv3_mod, name, _m3factory)
+        setattr(mb_mod, name, _m3factory)
+        setattr(models, name, _m3factory)
+    mbv3_mod.model_urls = {"mobilenet_v3_small": "",
+                           "mobilenet_v3_large": ""}
+    models.mobilenetv3 = mbv3_mod
     models.mobilenet_v2 = mobilenet_v2
     resnet_mod.model_urls = {n: "" for n in (
         "resnet18", "resnet34", "resnet50", "resnet101", "resnet152",
@@ -137,6 +149,17 @@ def _make_torchvision():
         "shufflenetv2_x2.0")}
     models.shufflenetv2 = shuffle_mod
 
+    squeeze_mod = types.ModuleType("torchvision.models.squeezenet")
+    for name in ("squeezenet1_0", "squeezenet1_1"):
+        def _qfactory(pretrained=False, _name=name, **kw):
+            if pretrained:
+                raise RuntimeError("zero-egress: no pretrained weights")
+            return getattr(_lazy_models(), _name)(**kw)
+        setattr(squeeze_mod, name, _qfactory)
+        setattr(models, name, _qfactory)
+    squeeze_mod.model_urls = {"squeezenet1_0": "", "squeezenet1_1": ""}
+    models.squeezenet = squeeze_mod
+
     vgg_mod = types.ModuleType("torchvision.models.vgg")
     for name in ("vgg11", "vgg13", "vgg16", "vgg19",
                  "vgg11_bn", "vgg13_bn", "vgg16_bn", "vgg19_bn"):
@@ -150,6 +173,35 @@ def _make_torchvision():
         "vgg11", "vgg13", "vgg16", "vgg19",
         "vgg11_bn", "vgg13_bn", "vgg16_bn", "vgg19_bn")}
     models.vgg = vgg_mod
+
+    convnext_mod = types.ModuleType("torchvision.models.convnext")
+    for name in ("convnext_tiny", "convnext_small", "convnext_base",
+                 "convnext_large"):
+        def _cfactory(pretrained=False, _name=name, **kw):
+            if pretrained:
+                raise RuntimeError("zero-egress: no pretrained weights")
+            return getattr(_lazy_models(), _name)(**kw)
+        setattr(convnext_mod, name, _cfactory)
+        setattr(models, name, _cfactory)
+    convnext_mod._MODELS_URLS = {n: "" for n in (
+        "convnext_tiny", "convnext_small", "convnext_base",
+        "convnext_large")}
+    models.convnext = convnext_mod
+
+    regnet_mod = types.ModuleType("torchvision.models.regnet")
+    for name in ("regnet_x_400mf", "regnet_x_800mf", "regnet_x_1_6gf",
+                 "regnet_x_3_2gf", "regnet_x_8gf", "regnet_x_16gf",
+                 "regnet_x_32gf", "regnet_y_400mf", "regnet_y_800mf",
+                 "regnet_y_1_6gf", "regnet_y_3_2gf", "regnet_y_8gf",
+                 "regnet_y_16gf", "regnet_y_32gf", "regnet_y_128gf"):
+        def _rgfactory(pretrained=False, _name=name, **kw):
+            if pretrained:
+                raise RuntimeError("zero-egress: no pretrained weights")
+            return getattr(_lazy_models(), _name)(**kw)
+        setattr(regnet_mod, name, _rgfactory)
+        setattr(models, name, _rgfactory)
+    regnet_mod.model_urls = {}
+    models.regnet = regnet_mod
 
     detection = types.ModuleType("torchvision.models.detection")
     detection.maskrcnn_resnet50_fpn = _Unavailable
@@ -168,7 +220,11 @@ def _make_torchvision():
         "torchvision.models.resnet": resnet_mod,
         "torchvision.models.mobilenet": mb_mod,
         "torchvision.models.mobilenetv2": mbv2_mod,
+        "torchvision.models.mobilenetv3": mbv3_mod,
+        "torchvision.models.squeezenet": squeeze_mod,
         "torchvision.models.vgg": vgg_mod,
+        "torchvision.models.convnext": convnext_mod,
+        "torchvision.models.regnet": regnet_mod,
         "torchvision.models.detection": detection,
     }
     return mods

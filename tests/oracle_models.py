@@ -398,3 +398,357 @@ def vgg16_bn(**kw):
 
 def vgg19_bn(**kw):
     return TVVGG("E", True, **kw)
+
+
+# ------------------------------------------------------------ SqueezeNet
+class TVFire(nn.Module):
+    def __init__(self, inplanes, squeeze_planes, expand1x1_planes,
+                 expand3x3_planes):
+        super().__init__()
+        self.squeeze = nn.Conv2d(inplanes, squeeze_planes, kernel_size=1)
+        self.squeeze_activation = nn.ReLU(inplace=True)
+        self.expand1x1 = nn.Conv2d(squeeze_planes, expand1x1_planes,
+                                   kernel_size=1)
+        self.expand1x1_activation = nn.ReLU(inplace=True)
+        self.expand3x3 = nn.Conv2d(squeeze_planes, expand3x3_planes,
+                                   kernel_size=3, padding=1)
+        self.expand3x3_activation = nn.ReLU(inplace=True)
+
+    def forward(self, x):
+        x = self.squeeze_activation(self.squeeze(x))
+        return torch.cat([
+            self.expand1x1_activation(self.expand1x1(x)),
+            self.expand3x3_activation(self.expand3x3(x))], 1)
+
+
+class TVSqueezeNet(nn.Module):
+    """torchvision SqueezeNet layout (exact child indices — the
+    reference wrapper slices features by index)."""
+
+    def __init__(self, version="1_1", num_classes=1000):
+        super().__init__()
+        if version == "1_0":
+            self.features = nn.Sequential(
+                nn.Conv2d(3, 96, kernel_size=7, stride=2),
+                nn.ReLU(inplace=True),
+                nn.MaxPool2d(kernel_size=3, stride=2, ceil_mode=True),
+                TVFire(96, 16, 64, 64), TVFire(128, 16, 64, 64),
+                TVFire(128, 32, 128, 128),
+                nn.MaxPool2d(kernel_size=3, stride=2, ceil_mode=True),
+                TVFire(256, 32, 128, 128), TVFire(256, 48, 192, 192),
+                TVFire(384, 48, 192, 192), TVFire(384, 64, 256, 256),
+                nn.MaxPool2d(kernel_size=3, stride=2, ceil_mode=True),
+                TVFire(512, 64, 256, 256))
+        else:
+            self.features = nn.Sequential(
+                nn.Conv2d(3, 64, kernel_size=3, stride=2),
+                nn.ReLU(inplace=True),
+                nn.MaxPool2d(kernel_size=3, stride=2, ceil_mode=True),
+                TVFire(64, 16, 64, 64), TVFire(128, 16, 64, 64),
+                nn.MaxPool2d(kernel_size=3, stride=2, ceil_mode=True),
+                TVFire(128, 32, 128, 128), TVFire(256, 32, 128, 128),
+                nn.MaxPool2d(kernel_size=3, stride=2, ceil_mode=True),
+                TVFire(256, 48, 192, 192), TVFire(384, 48, 192, 192),
+                TVFire(384, 64, 256, 256), TVFire(512, 64, 256, 256))
+        self.classifier = nn.Sequential(
+            nn.Dropout(p=0.5), nn.Conv2d(512, num_classes, kernel_size=1),
+            nn.ReLU(inplace=True), nn.AdaptiveAvgPool2d((1, 1)))
+
+    def forward(self, x):
+        x = self.classifier(self.features(x))
+        return torch.flatten(x, 1)
+
+
+def squeezenet1_0(**kw):
+    return TVSqueezeNet("1_0", **kw)
+
+
+def squeezenet1_1(**kw):
+    return TVSqueezeNet("1_1", **kw)
+
+
+# ---------------------------------------------------------- MobileNetV3
+# torchvision layout: features children sliced by index in the reference
+# wrapper (mobilenet_v3.py:33-48); block internals follow torchvision's
+# InvertedResidual (block Sequential: [expand], dw, [SE], project).
+
+class _MBV3SE(nn.Module):
+    def __init__(self, input_channels, squeeze_channels):
+        super().__init__()
+        self.fc1 = nn.Conv2d(input_channels, squeeze_channels, 1)
+        self.relu = nn.ReLU(inplace=True)
+        self.fc2 = nn.Conv2d(squeeze_channels, input_channels, 1)
+
+    def forward(self, x):
+        s = torch.nn.functional.adaptive_avg_pool2d(x, 1)
+        s = self.fc2(self.relu(self.fc1(s)))
+        return x * torch.nn.functional.hardsigmoid(s)
+
+
+def _cba(in_ch, out_ch, k, stride, groups, act):
+    pad = (k - 1) // 2
+    layers = [nn.Conv2d(in_ch, out_ch, k, stride, pad, groups=groups,
+                        bias=False),
+              nn.BatchNorm2d(out_ch, eps=0.001, momentum=0.01)]
+    if act == "HS":
+        layers.append(nn.Hardswish(inplace=True))
+    elif act == "RE":
+        layers.append(nn.ReLU(inplace=True))
+    else:
+        layers.append(nn.Identity())
+    return nn.Sequential(*layers)
+
+
+class _MBV3Block(nn.Module):
+    def __init__(self, in_ch, k, exp, out_ch, se, act, stride):
+        super().__init__()
+        self.use_res = stride == 1 and in_ch == out_ch
+        layers = []
+        if exp != in_ch:
+            layers.append(_cba(in_ch, exp, 1, 1, 1, act))
+        layers.append(_cba(exp, exp, k, stride, exp, act))
+        if se:
+            layers.append(_MBV3SE(exp, _make_divisible(exp // 4, 8)))
+        layers.append(_cba(exp, out_ch, 1, 1, 1, None))
+        self.block = nn.Sequential(*layers)
+
+    def forward(self, x):
+        y = self.block(x)
+        return x + y if self.use_res else y
+
+
+_MBV3_SMALL = [  # (k, exp, out, se, act, stride)
+    (3, 16, 16, True, "RE", 2), (3, 72, 24, False, "RE", 2),
+    (3, 88, 24, False, "RE", 1), (5, 96, 40, True, "HS", 2),
+    (5, 240, 40, True, "HS", 1), (5, 240, 40, True, "HS", 1),
+    (5, 120, 48, True, "HS", 1), (5, 144, 48, True, "HS", 1),
+    (5, 288, 96, True, "HS", 2), (5, 576, 96, True, "HS", 1),
+    (5, 576, 96, True, "HS", 1)]
+_MBV3_LARGE = [
+    (3, 16, 16, False, "RE", 1), (3, 64, 24, False, "RE", 2),
+    (3, 72, 24, False, "RE", 1), (5, 72, 40, True, "RE", 2),
+    (5, 120, 40, True, "RE", 1), (5, 120, 40, True, "RE", 1),
+    (3, 240, 80, False, "HS", 2), (3, 200, 80, False, "HS", 1),
+    (3, 184, 80, False, "HS", 1), (3, 184, 80, False, "HS", 1),
+    (3, 480, 112, True, "HS", 1), (3, 672, 112, True, "HS", 1),
+    (5, 672, 160, True, "HS", 2), (5, 960, 160, True, "HS", 1),
+    (5, 960, 160, True, "HS", 1)]
+
+
+class TVMobileNetV3(nn.Module):
+    def __init__(self, cfg, last_mult=6, last_fc=1024, num_classes=1000):
+        super().__init__()
+        layers = [_cba(3, 16, 3, 2, 1, "HS")]
+        in_ch = 16
+        for (k, exp, out_ch, se, act, stride) in cfg:
+            layers.append(_MBV3Block(in_ch, k, exp, out_ch, se, act, stride))
+            in_ch = out_ch
+        last_conv = in_ch * last_mult
+        layers.append(_cba(in_ch, last_conv, 1, 1, 1, "HS"))
+        self.features = nn.Sequential(*layers)
+        self.classifier = nn.Sequential(
+            nn.Linear(last_conv, last_fc), nn.Hardswish(inplace=True),
+            nn.Dropout(p=0.2), nn.Linear(last_fc, num_classes))
+
+    def forward(self, x):
+        x = self.features(x)
+        x = torch.nn.functional.adaptive_avg_pool2d(x, 1)
+        return self.classifier(torch.flatten(x, 1))
+
+
+def mobilenet_v3_small(**kw):
+    return TVMobileNetV3(_MBV3_SMALL, last_mult=6, last_fc=1024, **kw)
+
+
+def mobilenet_v3_large(**kw):
+    return TVMobileNetV3(_MBV3_LARGE, last_mult=6, last_fc=1280, **kw)
+
+
+# ------------------------------------------------------------- ConvNeXt
+class _Permute(nn.Module):
+    def __init__(self, dims):
+        super().__init__()
+        self.dims = dims
+
+    def forward(self, x):
+        return x.permute(self.dims)
+
+
+class LayerNorm2d(nn.LayerNorm):
+    def forward(self, x):
+        x = x.permute(0, 2, 3, 1)
+        x = super().forward(x)
+        return x.permute(0, 3, 1, 2)
+
+
+class CNBlock(nn.Module):
+    def __init__(self, dim, layer_scale=1e-6):
+        super().__init__()
+        self.block = nn.Sequential(
+            nn.Conv2d(dim, dim, kernel_size=7, padding=3, groups=dim,
+                      bias=True),
+            _Permute([0, 2, 3, 1]),
+            nn.LayerNorm(dim, eps=1e-6),
+            nn.Linear(dim, 4 * dim),
+            nn.GELU(),
+            nn.Linear(4 * dim, dim),
+            _Permute([0, 3, 1, 2]))
+        self.layer_scale = nn.Parameter(torch.ones(dim, 1, 1) * layer_scale)
+
+    def forward(self, x):
+        return x + self.layer_scale * self.block(x)  # eval: no stoch depth
+
+
+class TVConvNeXt(nn.Module):
+    """torchvision ConvNeXt layout (features child indices are what the
+    reference wrapper slices)."""
+
+    def __init__(self, depths, dims, num_classes=1000):
+        super().__init__()
+        layers = [nn.Sequential(
+            nn.Conv2d(3, dims[0], kernel_size=4, stride=4, bias=True),
+            LayerNorm2d(dims[0], eps=1e-6))]
+        for i, (d, dim) in enumerate(zip(depths, dims)):
+            if i > 0:
+                layers.append(nn.Sequential(
+                    LayerNorm2d(dims[i - 1], eps=1e-6),
+                    nn.Conv2d(dims[i - 1], dim, kernel_size=2, stride=2)))
+            layers.append(nn.Sequential(*[CNBlock(dim) for _ in range(d)]))
+        self.features = nn.Sequential(*layers)
+        self.avgpool = nn.AdaptiveAvgPool2d(1)
+        self.classifier = nn.Sequential(
+            LayerNorm2d(dims[-1], eps=1e-6), nn.Flatten(1),
+            nn.Linear(dims[-1], num_classes))
+
+    def forward(self, x):
+        x = self.avgpool(self.features(x))
+        return self.classifier(x)
+
+
+def convnext_tiny(**kw):
+    return TVConvNeXt((3, 3, 9, 3), (96, 192, 384, 768), **kw)
+
+
+def convnext_small(**kw):
+    return TVConvNeXt((3, 3, 27, 3), (96, 192, 384, 768), **kw)
+
+
+def convnext_base(**kw):
+    return TVConvNeXt((3, 3, 27, 3), (128, 256, 512, 1024), **kw)
+
+
+def convnext_large(**kw):
+    return TVConvNeXt((3, 3, 27, 3), (192, 384, 768, 1536), **kw)
+
+
+# --------------------------------------------------------------- RegNet
+# torchvision layout: stem + trunk_output.blockK.blockK-i with
+# f = BottleneckTransform(a, b, [se], c); the reference wrapper grabs
+# trunk_output.block1..4 directly (regnet.py:81-85).
+
+class _RegSE(nn.Module):
+    def __init__(self, input_channels, squeeze_channels):
+        super().__init__()
+        self.avgpool = nn.AdaptiveAvgPool2d(1)
+        self.fc1 = nn.Conv2d(input_channels, squeeze_channels, 1)
+        self.fc2 = nn.Conv2d(squeeze_channels, input_channels, 1)
+        self.activation = nn.ReLU()
+        self.scale_activation = nn.Sigmoid()
+
+    def forward(self, x):
+        s = self.avgpool(x)
+        s = self.scale_activation(self.fc2(self.activation(self.fc1(s))))
+        return x * s
+
+
+def _reg_cna(w_in, w_out, k, stride, groups=1, act=True):
+    layers = [nn.Conv2d(w_in, w_out, k, stride, (k - 1) // 2, groups=groups,
+                        bias=False), nn.BatchNorm2d(w_out)]
+    if act:
+        layers.append(nn.ReLU(inplace=True))
+    return nn.Sequential(*layers)
+
+
+class _BottleneckTransform(nn.Module):
+    def __init__(self, w_in, w_out, stride, group_width, se):
+        super().__init__()
+        groups = w_out // group_width
+        self.a = _reg_cna(w_in, w_out, 1, 1)
+        self.b = _reg_cna(w_out, w_out, 3, stride, groups=groups)
+        if se:
+            self.se = _RegSE(w_out, int(round(w_in * 0.25)))
+        self.c = _reg_cna(w_out, w_out, 1, 1, act=False)
+
+    def forward(self, x):
+        x = self.b(self.a(x))
+        if hasattr(self, "se"):
+            x = self.se(x)
+        return self.c(x)
+
+
+class _ResBottleneckBlock(nn.Module):
+    def __init__(self, w_in, w_out, stride, group_width, se):
+        super().__init__()
+        self.proj = None
+        if w_in != w_out or stride != 1:
+            self.proj = _reg_cna(w_in, w_out, 1, stride, act=False)
+        self.f = _BottleneckTransform(w_in, w_out, stride, group_width, se)
+        self.activation = nn.ReLU(inplace=True)
+
+    def forward(self, x):
+        identity = self.proj(x) if self.proj is not None else x
+        return self.activation(identity + self.f(x))
+
+
+class TVRegNet(nn.Module):
+    def __init__(self, depths, widths, group_width, se, num_classes=1000):
+        super().__init__()
+        self.stem = _reg_cna(3, 32, 3, 2)
+        trunk = nn.Sequential()
+        w_in = 32
+        for si, (d, w) in enumerate(zip(depths, widths), start=1):
+            stage = nn.Sequential()
+            for bi in range(d):
+                stage.add_module(
+                    f"block{si}-{bi}",
+                    _ResBottleneckBlock(w_in if bi == 0 else w, w,
+                                        2 if bi == 0 else 1, group_width,
+                                        se))
+            trunk.add_module(f"block{si}", stage)
+            w_in = w
+        self.trunk_output = trunk
+        self.avgpool = nn.AdaptiveAvgPool2d(1)
+        self.fc = nn.Linear(widths[-1], num_classes)
+
+    def forward(self, x):
+        x = self.trunk_output(self.stem(x))
+        return self.fc(torch.flatten(self.avgpool(x), 1))
+
+
+_REGNET_SPECS = {
+    "regnet_x_400mf": ((1, 2, 7, 12), (32, 64, 160, 400), 16, False),
+    "regnet_x_800mf": ((1, 3, 7, 5), (64, 128, 288, 672), 16, False),
+    "regnet_x_1_6gf": ((2, 4, 10, 2), (72, 168, 408, 912), 24, False),
+    "regnet_x_3_2gf": ((2, 6, 15, 2), (96, 192, 432, 1008), 48, False),
+    "regnet_x_8gf": ((2, 5, 15, 1), (80, 240, 720, 1920), 120, False),
+    "regnet_x_16gf": ((2, 6, 13, 1), (256, 512, 896, 2048), 128, False),
+    "regnet_x_32gf": ((2, 7, 13, 1), (336, 672, 1344, 2520), 168, False),
+    "regnet_y_400mf": ((1, 3, 6, 6), (48, 104, 208, 440), 8, True),
+    "regnet_y_800mf": ((1, 3, 8, 2), (64, 144, 320, 784), 16, True),
+    "regnet_y_1_6gf": ((2, 6, 17, 2), (48, 120, 336, 888), 24, True),
+    "regnet_y_3_2gf": ((2, 5, 13, 1), (72, 216, 576, 1512), 24, True),
+    "regnet_y_8gf": ((2, 4, 10, 1), (224, 448, 896, 2016), 56, True),
+    "regnet_y_16gf": ((2, 4, 11, 1), (224, 448, 1232, 3024), 112, True),
+    "regnet_y_32gf": ((2, 5, 12, 1), (232, 696, 1392, 3712), 232, True),
+}
+
+
+def _regnet_factory(name):
+    def factory(**kw):
+        d, w, g, se = _REGNET_SPECS[name]
+        return TVRegNet(d, w, g, se, **kw)
+    return factory
+
+
+for _n in _REGNET_SPECS:
+    globals()[_n] = _regnet_factory(_n)

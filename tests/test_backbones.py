@@ -54,10 +54,14 @@ def test_cspdarknet_width_depth(rng):
 
 @pytest.mark.parametrize("cfg,ch_out", [
     ({"name": "EfficientNet", "subtype": "efficientnet_b0"}, (40, 112, 320)),
-    ({"name": "MobileNetV3", "subtype": "mobilenet_v3_large"}, (40, 112, 160)),
-    ({"name": "MobileNetV3", "subtype": "mobilenet_v3_small"}, (24, 48, 96)),
+    # default out_stages [3,4,5] index the reference wrapper's stage
+    # table (mobilenet_v3.py:49,69): large → 40/80/112, small → 40/48/96
+    ({"name": "MobileNetV3", "subtype": "mobilenet_v3_large"}, (40, 80, 112)),
+    ({"name": "MobileNetV3", "subtype": "mobilenet_v3_small"}, (40, 48, 96)),
     ({"name": "ConvNeXt", "subtype": "convnext_tiny"}, (192, 384, 768)),
-    ({"name": "RepVGG", "subtype": "RepVGG-A0"}, (96, 192, 1280)),
+    # stage4 is 512 regardless of width_multiplier[3] — upstream
+    # last_channel quirk (reference repvgg.py:167,184), oracle-verified
+    ({"name": "RepVGG", "subtype": "RepVGG-A0"}, (96, 192, 512)),
     ({"name": "SqueezeNet"}, (128, 256, 512)),
     ({"name": "DenseNet", "subtype": "densenet121"}, (512, 1024, 1024)),
 ])

@@ -2202,3 +2202,348 @@ def test_reference_cspdarknet_unbuildable_documented():
     with pytest.raises(TypeError):
         CspDarkNet(subtype="cspdark_s", out_stages=[2, 3, 4],
                    depth_mul=0.33, width_mul=0.5)
+
+
+def test_resnext_backbone_matches_reference():
+    """ResNeXt-50 32×4d vs /root/reference/src/models/backbones/
+    resnext.py:18-80 — grouped 3×3 bottlenecks (width = planes·4/64·32),
+    torchvision child slicing identical to the ResNet wrapper."""
+    from src.models.backbones.resnext import ResNeXt as RefResNeXt
+
+    from cvpytorch_tpu.models.backbones.resnet import ResNet
+    from cvpytorch_tpu.utils.porting import RESNET_WRAPPER_RULES
+
+    torch.manual_seed(0)
+    ref = RefResNeXt(subtype="resnext50_32x4d", out_stages=[2, 3, 4],
+                     pretrained=False)
+    _randomize_bn(ref)
+    ref.eval()
+
+    x = np.random.RandomState(41).rand(1, 3, 64, 64).astype(np.float32)
+    with torch.no_grad():
+        want = [o.numpy() for o in ref(to_torch(x))]
+
+    sd = {k: v for k, v in ref.state_dict().items()
+          if not k.startswith(("avgpool", "fc"))}
+    ported = port_state_dict(sd, RESNET_WRAPPER_RULES, strict=True)
+
+    model = ResNet(subtype="resnext50_32x4d", out_stages=(2, 3, 4))
+    xs = jnp.asarray(x.transpose(0, 2, 3, 1))
+    variables = model.init(jax.random.PRNGKey(0), xs)
+    errs = verify_tree_shapes(ported["params"], dict(variables["params"]))
+    assert not errs, errs
+    feats = model.apply(
+        {"params": ported["params"], "batch_stats": ported["batch_stats"]},
+        xs, train=False)
+    for got, w in zip(feats, want):
+        _allclose_rel(np.asarray(got).transpose(0, 3, 1, 2), w, atol=3e-4)
+
+
+def test_wide_resnet_reference_is_resnext_documented():
+    """Upstream quirk (documented parity): the reference's WideResNet
+    (/root/reference/src/models/backbones/wide_resnet.py:10,31-36)
+    constructs **resnext50_32x4d / resnext101_32x8d**, not torchvision's
+    wide_resnet50_2/101_2 — a copy-paste bug, so the reference has no
+    actual wide-ResNet numerics to test against.  Our
+    ``ResNet(subtype='wide_resnet50_2')`` implements the intended
+    architecture (base_width 128); this test (a) records the upstream
+    bug by asserting the reference WideResNet's state dict is exactly
+    the ResNeXt one (grouped 3×3 ⇒ width 128 @ layer1 with 4-channel
+    group fan-in), and (b) shape-checks our true wide variant (layer1
+    3×3 convs are 128-wide with FULL 128-channel fan-in)."""
+    from src.models.backbones.wide_resnet import WideResNet as RefWide
+
+    from cvpytorch_tpu.models.backbones.resnet import ResNet
+
+    torch.manual_seed(0)
+    ref = RefWide(subtype="wide_resnet50_2", pretrained=False)
+    w = ref.state_dict()["layer1.0.0.conv2.weight"]
+    # resnext50_32x4d layer1 conv2: (128, 4, 3, 3) — grouped; a true
+    # wide_resnet50_2 would be (128, 128, 3, 3)
+    assert tuple(w.shape) == (128, 4, 3, 3), tuple(w.shape)
+
+    model = ResNet(subtype="wide_resnet50_2", out_stages=(2, 3, 4))
+    x = jnp.asarray(np.random.RandomState(0).rand(1, 64, 64, 3)
+                    .astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(0), x)
+    k = variables["params"]["layer1_block0"]["conv2"]["kernel"]
+    assert k.shape == (3, 3, 128, 128), k.shape
+    feats = model.apply(variables, x, train=False)
+    assert [f.shape for f in feats] == [(1, 8, 8, 512), (1, 4, 4, 1024),
+                                        (1, 2, 2, 2048)]
+
+
+def test_squeezenet_backbone_matches_reference():
+    """SqueezeNet 1.1 vs /root/reference/src/models/backbones/
+    squeezenet.py:30-76 — VALID-padded stem conv, ceil-mode maxpool at
+    each layer start, Fire stacks.  Upstream quirks recorded in the
+    backbone docstring (stale 1_0 out_channels metadata; classifier-mode
+    fc applied after layer1 → shape crash) are asserted here."""
+    from src.models.backbones.squeezenet import SqueezeNet as RefSqueeze
+
+    from cvpytorch_tpu.models.backbones.misc_backbones import SqueezeNet
+
+    torch.manual_seed(0)
+    ref = RefSqueeze(subtype="squeezenet1_1", out_stages=[1, 2, 3],
+                     pretrained=False)
+    _randomize_convs(ref)
+    ref.eval()
+    x = np.random.RandomState(50).rand(1, 3, 127, 127).astype(np.float32)
+    with torch.no_grad():
+        want = [o.numpy() for o in ref(to_torch(x))]
+
+    sd = ref.state_dict()
+    fire_children = {1: 2, 2: 2, 3: 4}
+
+    def fire(prefix):
+        def conv(name):
+            return {"kernel": sd[f"{prefix}.{name}.weight"].numpy()
+                    .transpose(2, 3, 1, 0),
+                    "bias": sd[f"{prefix}.{name}.bias"].numpy()}
+        return {"squeeze": conv("squeeze"), "e1": conv("expand1x1"),
+                "e3": conv("expand3x3")}
+
+    params = {"stem": {"kernel": sd["stem.0.weight"].numpy()
+                       .transpose(2, 3, 1, 0),
+                       "bias": sd["stem.0.bias"].numpy()}}
+    for si, n in fire_children.items():
+        for j in range(n):
+            # layer Sequential child 0 is the maxpool; fires start at 1
+            params[f"layer{si}_fire{j}"] = fire(f"layer{si}.{j + 1}")
+
+    model = SqueezeNet(subtype="squeezenet1_1", out_stages=(1, 2, 3))
+    xs = jnp.asarray(x.transpose(0, 2, 3, 1))
+    variables = model.init(jax.random.PRNGKey(0), xs)
+    errs = verify_tree_shapes(params, dict(variables["params"]))
+    assert not errs, errs
+    feats = model.apply({"params": params}, xs, train=False)
+    for got, w in zip(feats, want):
+        _allclose_rel(np.asarray(got).transpose(0, 3, 1, 2), w, atol=1e-4)
+
+    # documented upstream breakage: classifier mode crashes at
+    # CONSTRUCTION — squeezenet.py:46 does
+    # ``nn.Linear(self.fc[1].in_features, …)`` but fc[1] is the 1×1
+    # classifier Conv2d, which has no ``in_features``
+    with pytest.raises(AttributeError):
+        RefSqueeze(subtype="squeezenet1_1", classifier=True,
+                   num_classes=10, pretrained=False)
+
+
+@pytest.mark.parametrize("subtype,out_stages", [
+    ("mobilenet_v3_small", (3, 4, 5)),
+    ("mobilenet_v3_large", (2, 4, 6)),
+])
+def test_mobilenet_v3_backbone_matches_reference(subtype, out_stages):
+    """MobileNetV3 vs /root/reference/src/models/backbones/
+    mobilenet_v3.py:20-115 — torchvision feature slicing into wrapper
+    stages, SE squeeze widths make_divisible(expand//4, 8), and the
+    init_weights BN override (eps 1e-5 / momentum 0.1) that always
+    applies in a zero-egress world (pretrained weights unavailable)."""
+    from src.models.backbones.mobilenet_v3 import MobileNetV3 as RefMBV3
+
+    from cvpytorch_tpu.models.backbones.mobilenetv3 import (
+        _LARGE, _LARGE_STAGES, _SMALL, _SMALL_STAGES, MobileNetV3,
+    )
+
+    torch.manual_seed(0)
+    ref = RefMBV3(subtype=subtype, out_stages=list(out_stages),
+                  pretrained=False)
+    _randomize_convs(ref)
+    _randomize_bn(ref)
+    ref.eval()
+    x = np.random.RandomState(60).rand(1, 3, 64, 64).astype(np.float32)
+    with torch.no_grad():
+        want = [o.numpy() for o in ref(to_torch(x))]
+
+    sd = ref.state_dict()
+    small = "small" in subtype
+    cfgs = _SMALL if small else _LARGE
+    stages = _SMALL_STAGES if small else _LARGE_STAGES
+
+    def cba(prefix, has_bias=False):
+        p = {"conv": {"kernel": sd[f"{prefix}.0.weight"].numpy()
+                      .transpose(2, 3, 1, 0)},
+             "bn": {"scale": sd[f"{prefix}.1.weight"].numpy(),
+                    "bias": sd[f"{prefix}.1.bias"].numpy()}}
+        st = {"bn": {"mean": sd[f"{prefix}.1.running_mean"].numpy(),
+                     "var": sd[f"{prefix}.1.running_var"].numpy()}}
+        return p, st
+
+    params, stats = {}, {}
+    params["stem"], stats["stem"] = cba("stem.0")
+    in_ch = 16
+    for si, blocks in enumerate(stages, start=1):
+        for j, i in enumerate(blocks):
+            k, e, c, se, act, s = cfgs[i]
+            pre = f"stage{si}.{j}.block"
+            bi = 0
+            p, st = {}, {}
+            if e != in_ch:
+                p["expand"], st["expand"] = cba(f"{pre}.{bi}")
+                bi += 1
+            p["dw"], st["dw"] = cba(f"{pre}.{bi}")
+            bi += 1
+            if se:
+                p["se"] = {
+                    "fc1": {"kernel": sd[f"{pre}.{bi}.fc1.weight"].numpy()
+                            .transpose(2, 3, 1, 0),
+                            "bias": sd[f"{pre}.{bi}.fc1.bias"].numpy()},
+                    "fc2": {"kernel": sd[f"{pre}.{bi}.fc2.weight"].numpy()
+                            .transpose(2, 3, 1, 0),
+                            "bias": sd[f"{pre}.{bi}.fc2.bias"].numpy()}}
+                bi += 1
+            p["project"], st["project"] = cba(f"{pre}.{bi}")
+            params[f"block{i}"], stats[f"block{i}"] = p, st
+            in_ch = c
+
+    model = MobileNetV3(subtype=subtype, out_stages=out_stages)
+    xs = jnp.asarray(x.transpose(0, 2, 3, 1))
+    variables = model.init(jax.random.PRNGKey(0), xs)
+    errs = verify_tree_shapes(params, dict(variables["params"]))
+    assert not errs, errs
+    feats = model.apply({"params": params, "batch_stats": stats}, xs,
+                        train=False)
+    assert len(feats) == len(want)
+    for got, w in zip(feats, want):
+        _allclose_rel(np.asarray(got).transpose(0, 3, 1, 2), w, atol=1e-4)
+
+
+def test_convnext_backbone_matches_reference():
+    """ConvNeXt-tiny vs /root/reference/src/models/backbones/
+    convnext.py:20-96 — dw7×7 + LN + 4× MLP blocks with layer-scale,
+    LN+2×2-conv downsamples, torchvision feature slicing (stage1 is the
+    first block stack, no downsample)."""
+    from src.models.backbones.convnext import ConvNeXt as RefConvNeXt
+
+    from cvpytorch_tpu.models.backbones.convnext import ConvNeXt
+
+    torch.manual_seed(0)
+    ref = RefConvNeXt(subtype="convnext_tiny", out_stages=[1, 2, 3, 4],
+                      pretrained=False)
+    ref.eval()
+    x = np.random.RandomState(70).rand(1, 3, 64, 64).astype(np.float32)
+    with torch.no_grad():
+        want = [o.numpy() for o in ref(to_torch(x))]
+
+    sd = ref.state_dict()
+    depths, dims = (3, 3, 9, 3), (96, 192, 384, 768)
+    # wrapper children: stem=features[0]; stage1=blocks; stageK≥2 =
+    # Sequential(downsample, blocks) → keys stageK.0.* / stageK.1.*
+    params = {
+        "stem_conv": {"kernel": sd["stem.0.weight"].numpy()
+                      .transpose(2, 3, 1, 0),
+                      "bias": sd["stem.0.bias"].numpy()},
+        "stem_norm": {"scale": sd["stem.1.weight"].numpy(),
+                      "bias": sd["stem.1.bias"].numpy()},
+    }
+
+    def cnblock(prefix, dim):
+        return {
+            "dwconv": {"kernel": sd[f"{prefix}.block.0.weight"].numpy()
+                       .transpose(2, 3, 1, 0),
+                       "bias": sd[f"{prefix}.block.0.bias"].numpy()},
+            "norm": {"scale": sd[f"{prefix}.block.2.weight"].numpy(),
+                     "bias": sd[f"{prefix}.block.2.bias"].numpy()},
+            "pw1": {"kernel": sd[f"{prefix}.block.3.weight"].numpy().T,
+                    "bias": sd[f"{prefix}.block.3.bias"].numpy()},
+            "pw2": {"kernel": sd[f"{prefix}.block.5.weight"].numpy().T,
+                    "bias": sd[f"{prefix}.block.5.bias"].numpy()},
+            "gamma": sd[f"{prefix}.layer_scale"].numpy().reshape(dim),
+        }
+
+    for si, (d, dim) in enumerate(zip(depths, dims), start=1):
+        for j in range(d):
+            pre = (f"stage1.{j}" if si == 1 else f"stage{si}.1.{j}")
+            params[f"stage{si}_block{j}"] = cnblock(pre, dim)
+        if si > 1:
+            params[f"down{si}_norm"] = {
+                "scale": sd[f"stage{si}.0.0.weight"].numpy(),
+                "bias": sd[f"stage{si}.0.0.bias"].numpy()}
+            params[f"down{si}_conv"] = {
+                "kernel": sd[f"stage{si}.0.1.weight"].numpy()
+                .transpose(2, 3, 1, 0),
+                "bias": sd[f"stage{si}.0.1.bias"].numpy()}
+
+    model = ConvNeXt(subtype="convnext_tiny", out_stages=(1, 2, 3, 4))
+    xs = jnp.asarray(x.transpose(0, 2, 3, 1))
+    variables = model.init(jax.random.PRNGKey(0), xs)
+    errs = verify_tree_shapes(params, dict(variables["params"]))
+    assert not errs, errs
+    feats = model.apply({"params": params}, xs, train=False)
+    for got, w in zip(feats, want):
+        _allclose_rel(np.asarray(got).transpose(0, 3, 1, 2), w, atol=1e-4)
+
+
+@pytest.mark.parametrize("subtype", ["regnet_y_400mf", "regnet_x_800mf"])
+def test_regnet_backbone_matches_reference(subtype):
+    """RegNet X/Y vs /root/reference/src/models/backbones/regnet.py:19-106
+    — torchvision trunk_output.block1..4 stage slicing; Y blocks carry
+    SE(round(w_in/4)) between group conv and projection.  Upstream quirk
+    (documented): classifier mode reads ``self.last_conv`` which the
+    wrapper never sets (regnet.py:100) → AttributeError."""
+    from src.models.backbones.regnet import RegNet as RefRegNet
+
+    from cvpytorch_tpu.models.backbones.regnet import _SPECS, RegNet
+
+    torch.manual_seed(0)
+    ref = RefRegNet(subtype=subtype, out_stages=[1, 2, 3, 4],
+                    pretrained=False)
+    _randomize_bn(ref)
+    ref.eval()
+    x = np.random.RandomState(80).rand(1, 3, 64, 64).astype(np.float32)
+    with torch.no_grad():
+        want = [o.numpy() for o in ref(to_torch(x))]
+
+    sd = ref.state_dict()
+    depths, widths, gw, se = _SPECS[subtype]
+
+    def cna(prefix):
+        p = {"conv": {"kernel": sd[f"{prefix}.0.weight"].numpy()
+                      .transpose(2, 3, 1, 0)},
+             "bn": {"scale": sd[f"{prefix}.1.weight"].numpy(),
+                    "bias": sd[f"{prefix}.1.bias"].numpy()}}
+        st = {"bn": {"mean": sd[f"{prefix}.1.running_mean"].numpy(),
+                     "var": sd[f"{prefix}.1.running_var"].numpy()}}
+        return p, st
+
+    params, stats = {}, {}
+    params["stem"], stats["stem"] = cna("stem")
+    for si, d in enumerate(depths, start=1):
+        for bi in range(d):
+            pre = f"stage{si}.block{si}-{bi}"
+            p, st = {}, {}
+            p["a"], st["a"] = cna(f"{pre}.f.a")
+            p["b"], st["b"] = cna(f"{pre}.f.b")
+            if se:
+                p["se"] = {
+                    "fc1": {"kernel": sd[f"{pre}.f.se.fc1.weight"].numpy()
+                            .transpose(2, 3, 1, 0),
+                            "bias": sd[f"{pre}.f.se.fc1.bias"].numpy()},
+                    "fc2": {"kernel": sd[f"{pre}.f.se.fc2.weight"].numpy()
+                            .transpose(2, 3, 1, 0),
+                            "bias": sd[f"{pre}.f.se.fc2.bias"].numpy()}}
+            p["c"], st["c"] = cna(f"{pre}.f.c")
+            if f"{pre}.proj.0.weight" in sd:
+                p["proj"], st["proj"] = cna(f"{pre}.proj")
+            params[f"stage{si}_block{bi}"] = p
+            stats[f"stage{si}_block{bi}"] = st
+
+    model = RegNet(subtype=subtype, out_stages=(1, 2, 3, 4))
+    xs = jnp.asarray(x.transpose(0, 2, 3, 1))
+    variables = model.init(jax.random.PRNGKey(0), xs)
+    errs = verify_tree_shapes(params, dict(variables["params"]))
+    assert not errs, errs
+    feats = model.apply({"params": params, "batch_stats": stats}, xs,
+                        train=False)
+    for got, w in zip(feats, want):
+        _allclose_rel(np.asarray(got).transpose(0, 3, 1, 2), w, atol=1e-4)
+
+    # documented upstream breakage: classifier reads unset self.last_conv
+    refc = RefRegNet(subtype=subtype, classifier=True, num_classes=10,
+                     pretrained=False)
+    refc.eval()
+    with pytest.raises((AttributeError, torch.nn.modules.module.ModuleAttributeError
+                        if hasattr(torch.nn.modules.module, "ModuleAttributeError")
+                        else AttributeError)):
+        with torch.no_grad():
+            refc(to_torch(x))
