@@ -1,5 +1,9 @@
 """EfficientNet B0-B7 (+Lite) (reference: src/models/backbones/efficientnet.py
-wrapping torchvision; native Flax/NHWC — Tan & Le, arXiv:1905.11946)."""
+wrapping torchvision; native Flax/NHWC — Tan & Le, arXiv:1905.11946).
+
+torchvision numerics: BN eps 1e-5 (default BatchNorm2d — the TF-origin
+1e-3 belongs to EfficientNetLite only), SE squeeze width
+max(1, block_input_channels // 4) gated by sigmoid on SiLU."""
 from __future__ import annotations
 
 import math
@@ -51,15 +55,15 @@ class MBConv(nn.Module):
         hidden = in_ch * self.expand
         if self.expand != 1:
             h = ConvBNAct(hidden, 1, act=self.act, bn_momentum=0.9,
-                          bn_eps=1e-3, name="expand")(h, train)
+                          bn_eps=1e-5, name="expand")(h, train)
         h = ConvBNAct(hidden, self.kernel, self.stride, groups=hidden,
-                      act=self.act, bn_momentum=0.9, bn_eps=1e-3,
+                      act=self.act, bn_momentum=0.9, bn_eps=1e-5,
                       name="dw")(h, train)
         if self.se:
-            h = SqueezeExcite(reduce_ratio=4 * self.expand, gate="sigmoid",
-                              act="silu", name="se")(h)
+            h = SqueezeExcite(gate="sigmoid", act="silu",
+                              squeeze_ch=max(1, in_ch // 4), name="se")(h)
         h = ConvBNAct(self.out_channels, 1, act=None, bn_momentum=0.9,
-                      bn_eps=1e-3, name="project")(h, train)
+                      bn_eps=1e-5, name="project")(h, train)
         if self.stride == 1 and in_ch == self.out_channels:
             h = DropPath(self.drop_rate, name="drop")(h, train)
             return x + h
@@ -80,7 +84,7 @@ class EfficientNet(nn.Module):
         lite = "lite" in self.subtype
         act = "relu6" if lite else "silu"
         ch = make_divisible(32 * wm)
-        x = ConvBNAct(ch, 3, 2, act=act, bn_momentum=0.9, bn_eps=1e-3,
+        x = ConvBNAct(ch, 3, 2, act=act, bn_momentum=0.9, bn_eps=1e-5,
                       name="stem")(x, train)
         feats = []
         total_blocks = sum(math.ceil(r * dm) for _, _, r, _, _ in _BASE)
@@ -98,7 +102,7 @@ class EfficientNet(nn.Module):
                 feats.append(x)
         if self.classifier:
             head_ch = make_divisible(1280 * wm) if not lite else 1280
-            x = ConvBNAct(head_ch, 1, act=act, bn_momentum=0.9, bn_eps=1e-3,
+            x = ConvBNAct(head_ch, 1, act=act, bn_momentum=0.9, bn_eps=1e-5,
                           name="head_conv")(x, train)
             x = jnp.mean(x, axis=(1, 2))
             x = nn.Dropout(dropout, deterministic=not train)(x)

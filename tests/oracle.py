@@ -203,6 +203,19 @@ def _make_torchvision():
     regnet_mod.model_urls = {}
     models.regnet = regnet_mod
 
+    eff_mod = types.ModuleType("torchvision.models.efficientnet")
+    for name in ("efficientnet_b0", "efficientnet_b1", "efficientnet_b2",
+                 "efficientnet_b3", "efficientnet_b4", "efficientnet_b5",
+                 "efficientnet_b6", "efficientnet_b7"):
+        def _efactory(pretrained=False, _name=name, **kw):
+            if pretrained:
+                raise RuntimeError("zero-egress: no pretrained weights")
+            return getattr(_lazy_models(), _name)(**kw)
+        setattr(eff_mod, name, _efactory)
+        setattr(models, name, _efactory)
+    eff_mod.model_urls = {}
+    models.efficientnet = eff_mod
+
     detection = types.ModuleType("torchvision.models.detection")
     detection.maskrcnn_resnet50_fpn = _Unavailable
     detection.fasterrcnn_resnet50_fpn = _Unavailable
@@ -225,6 +238,7 @@ def _make_torchvision():
         "torchvision.models.vgg": vgg_mod,
         "torchvision.models.convnext": convnext_mod,
         "torchvision.models.regnet": regnet_mod,
+        "torchvision.models.efficientnet": eff_mod,
         "torchvision.models.detection": detection,
     }
     return mods

@@ -752,3 +752,103 @@ def _regnet_factory(name):
 
 for _n in _REGNET_SPECS:
     globals()[_n] = _regnet_factory(_n)
+
+
+# ----------------------------------------------------------- EfficientNet
+# torchvision layout: features[0]=stem, [1..7]=stage Sequentials of
+# MBConv, [8]=1280 head — the reference wrapper binds features[i] to
+# stage_i directly (efficientnet.py:64-77).
+
+class _EffSE(nn.Module):
+    def __init__(self, input_channels, squeeze_channels):
+        super().__init__()
+        self.avgpool = nn.AdaptiveAvgPool2d(1)
+        self.fc1 = nn.Conv2d(input_channels, squeeze_channels, 1)
+        self.fc2 = nn.Conv2d(squeeze_channels, input_channels, 1)
+        self.activation = nn.SiLU()
+        self.scale_activation = nn.Sigmoid()
+
+    def forward(self, x):
+        s = self.avgpool(x)
+        s = self.scale_activation(self.fc2(self.activation(self.fc1(s))))
+        return x * s
+
+
+def _eff_cna(in_ch, out_ch, k, stride, groups=1, act=True):
+    layers = [nn.Conv2d(in_ch, out_ch, k, stride, (k - 1) // 2,
+                        groups=groups, bias=False), nn.BatchNorm2d(out_ch)]
+    if act:
+        layers.append(nn.SiLU(inplace=True))
+    return nn.Sequential(*layers)
+
+
+class _EffMBConv(nn.Module):
+    def __init__(self, in_ch, out_ch, expand, k, stride):
+        super().__init__()
+        self.use_res = stride == 1 and in_ch == out_ch
+        hidden = _make_divisible(in_ch * expand, 8)
+        layers = []
+        if hidden != in_ch:
+            layers.append(_eff_cna(in_ch, hidden, 1, 1))
+        layers.append(_eff_cna(hidden, hidden, k, stride, groups=hidden))
+        layers.append(_EffSE(hidden, max(1, in_ch // 4)))
+        layers.append(_eff_cna(hidden, out_ch, 1, 1, act=False))
+        self.block = nn.Sequential(*layers)
+
+    def forward(self, x):
+        y = self.block(x)
+        return x + y if self.use_res else y  # eval: no stochastic depth
+
+
+_EFF_BASE = [  # (expand, channels, repeats, stride, kernel)
+    (1, 16, 1, 1, 3), (6, 24, 2, 2, 3), (6, 40, 2, 2, 5),
+    (6, 80, 3, 2, 3), (6, 112, 3, 1, 5), (6, 192, 4, 2, 5),
+    (6, 320, 1, 1, 3)]
+
+
+class TVEfficientNet(nn.Module):
+    def __init__(self, width_mult, depth_mult, dropout=0.2,
+                 num_classes=1000):
+        super().__init__()
+        import math as _math
+        adj = lambda c: _make_divisible(c * width_mult, 8)
+        layers = [_eff_cna(3, adj(32), 3, 2)]
+        in_ch = adj(32)
+        for (e, c, r, s, k) in _EFF_BASE:
+            out_ch = adj(c)
+            reps = int(_math.ceil(r * depth_mult))
+            stage = []
+            for j in range(reps):
+                stage.append(_EffMBConv(in_ch, out_ch, e, k,
+                                        s if j == 0 else 1))
+                in_ch = out_ch
+            layers.append(nn.Sequential(*stage))
+        head = adj(1280)
+        layers.append(_eff_cna(in_ch, head, 1, 1))
+        self.features = nn.Sequential(*layers)
+        self.avgpool = nn.AdaptiveAvgPool2d(1)
+        self.classifier = nn.Sequential(nn.Dropout(p=dropout),
+                                        nn.Linear(head, num_classes))
+
+    def forward(self, x):
+        x = self.avgpool(self.features(x))
+        return self.classifier(torch.flatten(x, 1))
+
+
+_EFF_SCALING = {
+    "efficientnet_b0": (1.0, 1.0, 0.2), "efficientnet_b1": (1.0, 1.1, 0.2),
+    "efficientnet_b2": (1.1, 1.2, 0.3), "efficientnet_b3": (1.2, 1.4, 0.3),
+    "efficientnet_b4": (1.4, 1.8, 0.4), "efficientnet_b5": (1.6, 2.2, 0.4),
+    "efficientnet_b6": (1.8, 2.6, 0.5), "efficientnet_b7": (2.0, 3.1, 0.5),
+}
+
+
+def _eff_factory(name):
+    def factory(**kw):
+        wm, dm, dr = _EFF_SCALING[name]
+        return TVEfficientNet(wm, dm, dr, **kw)
+    return factory
+
+
+for _n in _EFF_SCALING:
+    globals()[_n] = _eff_factory(_n)

@@ -2547,3 +2547,195 @@ def test_regnet_backbone_matches_reference(subtype):
                         else AttributeError)):
         with torch.no_grad():
             refc(to_torch(x))
+
+
+@pytest.mark.parametrize("subtype", ["efficientnet_b0", "efficientnet_b2"])
+def test_efficientnet_backbone_matches_reference(subtype):
+    """EfficientNet vs /root/reference/src/models/backbones/
+    efficientnet.py:20-120 — torchvision features[1..7] bound to
+    stage1..7; MBConv SE squeeze = max(1, block_input//4) on the expanded
+    map; BN eps 1e-5.  b2 exercises make_divisible width scaling."""
+    from src.models.backbones.efficientnet import EfficientNet as RefEff
+
+    from cvpytorch_tpu.models.backbones.efficientnet import (
+        _BASE, _SCALING, EfficientNet,
+    )
+
+    torch.manual_seed(0)
+    ref = RefEff(subtype=subtype, out_stages=[3, 5, 7], pretrained=False)
+    _randomize_bn(ref)
+    ref.eval()
+    x = np.random.RandomState(90).rand(1, 3, 64, 64).astype(np.float32)
+    with torch.no_grad():
+        want = [o.numpy() for o in ref(to_torch(x))]
+
+    sd = ref.state_dict()
+    import math as _math
+
+    from cvpytorch_tpu.models.bricks import make_divisible
+    wm, dm, _ = _SCALING[subtype]
+
+    def cna(prefix):
+        p = {"conv": {"kernel": sd[f"{prefix}.0.weight"].numpy()
+                      .transpose(2, 3, 1, 0)},
+             "bn": {"scale": sd[f"{prefix}.1.weight"].numpy(),
+                    "bias": sd[f"{prefix}.1.bias"].numpy()}}
+        st = {"bn": {"mean": sd[f"{prefix}.1.running_mean"].numpy(),
+                     "var": sd[f"{prefix}.1.running_var"].numpy()}}
+        return p, st
+
+    params, stats = {}, {}
+    params["stem"], stats["stem"] = cna("stem")  # features[0] bound direct
+    in_ch = make_divisible(32 * wm)
+    for gi, (e, c, r, s, k) in enumerate(_BASE, start=1):
+        out_ch = make_divisible(c * wm)
+        reps = int(_math.ceil(r * dm))
+        for j in range(reps):
+            pre = f"stage{gi}.{j}.block"
+            hidden = make_divisible(in_ch * e)
+            bi = 0
+            p, st = {}, {}
+            if hidden != in_ch:
+                p["expand"], st["expand"] = cna(f"{pre}.{bi}")
+                bi += 1
+            p["dw"], st["dw"] = cna(f"{pre}.{bi}")
+            bi += 1
+            p["se"] = {
+                "fc1": {"kernel": sd[f"{pre}.{bi}.fc1.weight"].numpy()
+                        .transpose(2, 3, 1, 0),
+                        "bias": sd[f"{pre}.{bi}.fc1.bias"].numpy()},
+                "fc2": {"kernel": sd[f"{pre}.{bi}.fc2.weight"].numpy()
+                        .transpose(2, 3, 1, 0),
+                        "bias": sd[f"{pre}.{bi}.fc2.bias"].numpy()}}
+            bi += 1
+            p["project"], st["project"] = cna(f"{pre}.{bi}")
+            params[f"stage{gi}_block{j}"], stats[f"stage{gi}_block{j}"] = \
+                p, st
+            in_ch = out_ch
+
+    model = EfficientNet(subtype=subtype, out_stages=(3, 5, 7))
+    xs = jnp.asarray(x.transpose(0, 2, 3, 1))
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0)}, xs)
+    errs = verify_tree_shapes(params, dict(variables["params"]))
+    assert not errs, errs
+    feats = model.apply({"params": params, "batch_stats": stats}, xs,
+                        train=False)
+    for got, w in zip(feats, want):
+        _allclose_rel(np.asarray(got).transpose(0, 3, 1, 2), w, atol=1e-4)
+
+
+def test_custom_cspnet_matches_reference():
+    """CustomCspNet (NanoDet-g backbone) vs /root/reference/src/models/
+    backbones/custom_cspnet.py:19-107 — Conv s2 / MaxPool(3,2,p1) /
+    4 CspBlocks whose concat doubles channels; ConvModule LeakyReLU
+    slope 0.1 (modules/activations.py:58)."""
+    from src.models.backbones.custom_cspnet import CustomCspNet as RefCsp
+
+    from cvpytorch_tpu.models.backbones.custom_cspnet import CustomCspNet
+
+    torch.manual_seed(0)
+    ref = RefCsp(subtype="cspnet", out_stages=[2, 3, 4], pretrained=False)
+    _randomize_bn(ref)
+    ref.eval()
+    x = np.random.RandomState(91).rand(1, 3, 64, 64).astype(np.float32)
+    with torch.no_grad():
+        want = [o.numpy() for o in ref(to_torch(x))]
+
+    sd = ref.state_dict()
+
+    def cm(prefix):
+        return _conv_bn(sd, prefix)
+
+    params, stats = {}, {}
+    params["stage0"], stats["stage0"] = cm("stages.0")
+    for gi, num_res in zip((2, 3, 4, 5), (1, 2, 2, 3)):
+        p, st = {}, {}
+        p["in_conv"], st["in_conv"] = cm(f"stages.{gi}.in_conv")
+        for j in range(num_res):
+            rp, rs = {}, {}
+            rp["in_conv"], rs["in_conv"] = cm(
+                f"stages.{gi}.res_blocks.{j}.in_conv")
+            rp["mid_conv"], rs["mid_conv"] = cm(
+                f"stages.{gi}.res_blocks.{j}.mid_conv")
+            p[f"res{j}"], st[f"res{j}"] = rp, rs
+        p["res_out"], st["res_out"] = cm(f"stages.{gi}.res_out_conv")
+        params[f"stage{gi}"], stats[f"stage{gi}"] = p, st
+
+    model = CustomCspNet(out_stages=(2, 3, 4))
+    xs = jnp.asarray(x.transpose(0, 2, 3, 1))
+    variables = model.init({"params": jax.random.PRNGKey(0)}, xs)
+    errs = verify_tree_shapes(params, dict(variables["params"]))
+    assert not errs, errs
+    feats = model.apply({"params": params, "batch_stats": stats}, xs,
+                        train=False)
+    assert len(feats) == len(want)
+    for got, w in zip(feats, want):
+        _allclose_rel(np.asarray(got).transpose(0, 3, 1, 2), w, atol=1e-4)
+
+
+@pytest.mark.parametrize("subtype", ["efficientnet_lite0",
+                                     "efficientnet_lite2"])
+def test_efficientnet_lite_matches_reference(subtype):
+    """EfficientNet-Lite vs /root/reference/src/models/backbones/
+    efficientnet_lite.py:67-231 — SE-free MBConv (has_se=False always),
+    ReLU6, BN momentum 0.01/eps 1e-3, no width-scaling of stage0 input
+    or depth-scaling of first/last stages.  lite2 exercises
+    round_filters."""
+    from src.models.backbones.efficientnet_lite import (
+        EfficientNetLite as RefLite,
+        round_filters,
+        round_repeats,
+    )
+
+    from cvpytorch_tpu.models.backbones.efficientnet_lite import (
+        _PARAMS, _STAGES, EfficientNetLite,
+    )
+
+    torch.manual_seed(0)
+    ref = RefLite(subtype=subtype, out_stages=[2, 4, 6], pretrained=False)
+    _randomize_bn(ref)
+    ref.eval()
+    x = np.random.RandomState(92).rand(1, 3, 64, 64).astype(np.float32)
+    with torch.no_grad():
+        want = [o.numpy() for o in ref(to_torch(x))]
+
+    sd = ref.state_dict()
+
+    def convbn(cprefix, bprefix):
+        p = {"conv": {"kernel": sd[f"{cprefix}.weight"].numpy()
+                      .transpose(2, 3, 1, 0)},
+             "bn": {"scale": sd[f"{bprefix}.weight"].numpy(),
+                    "bias": sd[f"{bprefix}.bias"].numpy()}}
+        st = {"bn": {"mean": sd[f"{bprefix}.running_mean"].numpy(),
+                     "var": sd[f"{bprefix}.running_var"].numpy()}}
+        return p, st
+
+    wm, dm = _PARAMS[subtype]
+    params, stats = {}, {}
+    params["stem"], stats["stem"] = convbn("stem.0", "stem.1")
+    for i, (rep, k, s, e, cin, cout) in enumerate(_STAGES):
+        rep = rep if i in (0, len(_STAGES) - 1) else round_repeats(rep, dm)
+        for j in range(rep):
+            pre = f"blocks.{i}.{j}"
+            p, st = {}, {}
+            if e != 1:
+                p["expand"], st["expand"] = convbn(
+                    f"{pre}._expand_conv", f"{pre}._bn0")
+            p["dw"], st["dw"] = convbn(
+                f"{pre}._depthwise_conv", f"{pre}._bn1")
+            p["project"], st["project"] = convbn(
+                f"{pre}._project_conv", f"{pre}._bn2")
+            params[f"stage{i}_block{j}"] = p
+            stats[f"stage{i}_block{j}"] = st
+
+    model = EfficientNetLite(subtype=subtype, out_stages=(2, 4, 6))
+    xs = jnp.asarray(x.transpose(0, 2, 3, 1))
+    variables = model.init({"params": jax.random.PRNGKey(0)}, xs)
+    errs = verify_tree_shapes(params, dict(variables["params"]))
+    assert not errs, errs
+    feats = model.apply({"params": params, "batch_stats": stats}, xs,
+                        train=False)
+    assert len(feats) == len(want)
+    for got, w in zip(feats, want):
+        _allclose_rel(np.asarray(got).transpose(0, 3, 1, 2), w, atol=1e-4)
