@@ -89,6 +89,11 @@ class DenseLayer(nn.Module):
 
 @BACKBONES.register(name="DenseNet", aliases=("densenet",))
 class DenseNet(nn.Module):
+    """DenseNet (reference: src/models/backbones/densenet.py:17-91 slicing
+    torchvision features) — reference ``layerN = denseblockN+transitionN``
+    so stage feats are POST-transition (halved channels/res); stage4 is
+    denseblock4 alone, WITHOUT torchvision's final norm5+ReLU (densenet.py:60)."""
+
     subtype: str = "densenet121"
     out_stages: Sequence[int] = (2, 3, 4)
     classifier: bool = False
@@ -97,31 +102,31 @@ class DenseNet(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        cfgs = {"densenet121": (6, 12, 24, 16), "densenet169": (6, 12, 32, 32),
-                "densenet201": (6, 12, 48, 32)}[self.subtype]
-        growth = 32
-        x = ConvBNAct(64, 7, 2, padding=3, act="relu", bn_momentum=0.9,
+        cfgs = {"densenet121": (32, 64, (6, 12, 24, 16)),
+                "densenet161": (48, 96, (6, 12, 36, 24)),
+                "densenet169": (32, 64, (6, 12, 32, 32)),
+                "densenet201": (32, 64, (6, 12, 48, 32))}
+        growth, stem_ch, reps = cfgs[self.subtype]
+        x = ConvBNAct(stem_ch, 7, 2, padding=3, act="relu", bn_momentum=0.9,
                       bn_eps=1e-5, name="stem")(x, train)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
         feats = []
-        for si, n in enumerate(cfgs, start=1):
+        for si, n in enumerate(reps, start=1):
             for j in range(n):
                 x = DenseLayer(growth, name=f"dense{si}_{j}")(x, train)
-            if si < len(cfgs):  # transition
-                if si in self.out_stages and not self.classifier:
-                    feats.append(x)
+            if si < len(reps):  # transition
                 x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                                  name=f"trans{si}_bn")(x)
                 x = nn.relu(x)
                 x = nn.Conv(x.shape[-1] // 2, (1, 1), use_bias=False,
                             name=f"trans{si}_conv")(x)
                 x = nn.avg_pool(x, (2, 2), strides=(2, 2))
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         name="final_bn")(x)
-        x = nn.relu(x)
-        if len(cfgs) in self.out_stages and not self.classifier:
-            feats.append(x)
+            if si in self.out_stages and not self.classifier:
+                feats.append(x)
         if self.classifier:
+            x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                             name="final_bn")(x)
+            x = nn.relu(x)
             x = jnp.mean(x, axis=(1, 2))
             return nn.Dense(self.num_classes, name="fc")(x)
         return tuple(feats)
@@ -129,6 +134,13 @@ class DenseNet(nn.Module):
 
 @BACKBONES.register(name="ViT", aliases=("VisionTransformer", "vit"))
 class ViT(nn.Module):
+    """ViT (reference: src/models/backbones/vision_transformer.py:20-114
+    wrapping torchvision vit_{b,l}_{16,32}).  The reference forward always
+    applies ``self.heads`` (vision_transformer.py:112) — with
+    classifier=False it crashes on the unset attribute, so classifier-only
+    is the reference behavior; our feature mode (patch tokens) is the
+    intent."""
+
     subtype: str = "vit_b_16"
     classifier: bool = True
     num_classes: int = 1000
@@ -138,10 +150,10 @@ class ViT(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        dims = {"vit_t_16": (192, 12, 3), "vit_s_16": (384, 12, 6),
-                "vit_b_16": (768, 12, 12), "vit_l_16": (1024, 24, 16)}
-        dim, depth, heads = dims[self.subtype]
-        p = 16
+        dims = {"vit_t_16": (192, 12, 3, 16), "vit_s_16": (384, 12, 6, 16),
+                "vit_b_16": (768, 12, 12, 16), "vit_l_16": (1024, 24, 16, 16),
+                "vit_b_32": (768, 12, 12, 32), "vit_l_32": (1024, 24, 16, 32)}
+        dim, depth, heads, p = dims[self.subtype]
         B, H, W, C = x.shape
         x = nn.Conv(dim, (p, p), strides=p, name="patch_embed")(x)
         x = x.reshape(B, -1, dim)

@@ -216,6 +216,29 @@ def _make_torchvision():
     eff_mod.model_urls = {}
     models.efficientnet = eff_mod
 
+    dense_mod = types.ModuleType("torchvision.models.densenet")
+    for name in ("densenet121", "densenet161", "densenet169", "densenet201"):
+        def _dfactory(pretrained=False, _name=name, **kw):
+            # pretrained accepted: the reference wrapper hardcodes True
+            # (densenet.py:28) before its own AttributeError quirk.
+            return getattr(_lazy_models(), _name)(**kw)
+        setattr(dense_mod, name, _dfactory)
+        setattr(models, name, _dfactory)
+    dense_mod.model_urls = {}
+    models.densenet = dense_mod
+
+    vit_mod = types.ModuleType("torchvision.models.vision_transformer")
+    for name in ("vit_b_16", "vit_b_32", "vit_l_16", "vit_l_32"):
+        def _vfactory(pretrained=False, _name=name, **kw):
+            if pretrained:
+                raise RuntimeError("zero-egress: no pretrained weights")
+            return getattr(_lazy_models(), _name)(**kw)
+        setattr(vit_mod, name, _vfactory)
+        setattr(models, name, _vfactory)
+    vit_mod.model_urls = {n: "" for n in
+                          ("vit_b_16", "vit_b_32", "vit_l_16", "vit_l_32")}
+    models.vision_transformer = vit_mod
+
     detection = types.ModuleType("torchvision.models.detection")
     detection.maskrcnn_resnet50_fpn = _Unavailable
     detection.fasterrcnn_resnet50_fpn = _Unavailable
@@ -239,6 +262,8 @@ def _make_torchvision():
         "torchvision.models.convnext": convnext_mod,
         "torchvision.models.regnet": regnet_mod,
         "torchvision.models.efficientnet": eff_mod,
+        "torchvision.models.densenet": dense_mod,
+        "torchvision.models.vision_transformer": vit_mod,
         "torchvision.models.detection": detection,
     }
     return mods

@@ -852,3 +852,177 @@ def _eff_factory(name):
 
 for _n in _EFF_SCALING:
     globals()[_n] = _eff_factory(_n)
+
+
+# --------------------------------------------------------------- DenseNet
+# torchvision layout: features.{conv0,norm0,relu0,pool0,denseblock1,
+# transition1,...,denseblock4,norm5}; the reference wrapper slices these
+# attributes directly (densenet.py:42-60).
+
+class _TVDenseLayer(nn.Module):
+    def __init__(self, in_ch, growth, bn_size=4):
+        super().__init__()
+        self.norm1 = nn.BatchNorm2d(in_ch)
+        self.relu1 = nn.ReLU(inplace=True)
+        self.conv1 = nn.Conv2d(in_ch, bn_size * growth, 1, bias=False)
+        self.norm2 = nn.BatchNorm2d(bn_size * growth)
+        self.relu2 = nn.ReLU(inplace=True)
+        self.conv2 = nn.Conv2d(bn_size * growth, growth, 3, padding=1,
+                               bias=False)
+
+    def forward(self, x):
+        y = self.conv2(self.relu2(self.norm2(
+            self.conv1(self.relu1(self.norm1(x))))))
+        return torch.cat([x, y], 1)
+
+
+class _TVDenseBlock(nn.Sequential):
+    def __init__(self, num_layers, in_ch, growth):
+        layers = {f"denselayer{i + 1}": _TVDenseLayer(in_ch + i * growth,
+                                                      growth)
+                  for i in range(num_layers)}
+        super().__init__()
+        for k, v in layers.items():
+            self.add_module(k, v)
+
+
+class _TVTransition(nn.Sequential):
+    def __init__(self, in_ch, out_ch):
+        super().__init__()
+        self.add_module("norm", nn.BatchNorm2d(in_ch))
+        self.add_module("relu", nn.ReLU(inplace=True))
+        self.add_module("conv", nn.Conv2d(in_ch, out_ch, 1, bias=False))
+        self.add_module("pool", nn.AvgPool2d(2, 2))
+
+
+class TVDenseNet(nn.Module):
+    def __init__(self, growth, init_ch, reps, num_classes=1000):
+        super().__init__()
+        self.features = nn.Sequential()
+        self.features.add_module(
+            "conv0", nn.Conv2d(3, init_ch, 7, 2, 3, bias=False))
+        self.features.add_module("norm0", nn.BatchNorm2d(init_ch))
+        self.features.add_module("relu0", nn.ReLU(inplace=True))
+        self.features.add_module("pool0", nn.MaxPool2d(3, 2, 1))
+        ch = init_ch
+        for i, n in enumerate(reps, start=1):
+            self.features.add_module(f"denseblock{i}",
+                                     _TVDenseBlock(n, ch, growth))
+            ch += n * growth
+            if i < len(reps):
+                self.features.add_module(f"transition{i}",
+                                         _TVTransition(ch, ch // 2))
+                ch //= 2
+        self.features.add_module("norm5", nn.BatchNorm2d(ch))
+        self.classifier = nn.Linear(ch, num_classes)
+
+    def forward(self, x):
+        f = torch.relu(self.features(x))
+        f = torch.nn.functional.adaptive_avg_pool2d(f, 1)
+        return self.classifier(torch.flatten(f, 1))
+
+
+_DENSE_CFGS = {
+    "densenet121": (32, 64, (6, 12, 24, 16)),
+    "densenet161": (48, 96, (6, 12, 36, 24)),
+    "densenet169": (32, 64, (6, 12, 32, 32)),
+    "densenet201": (32, 64, (6, 12, 48, 32)),
+}
+
+
+def _dense_factory(name):
+    # pretrained accepted silently: the reference wrapper hardcodes
+    # pretrained=True (densenet.py:28) and then crashes on its own
+    # missing load_pretrained_weights — the quirk test needs to reach it.
+    def factory(pretrained=False, **kw):
+        g, c, r = _DENSE_CFGS[name]
+        return TVDenseNet(g, c, r, **kw)
+    return factory
+
+
+for _n in _DENSE_CFGS:
+    globals()[_n] = _dense_factory(_n)
+
+
+# -------------------------------------------------------------------- ViT
+# torchvision layout: conv_proj, class_token, encoder.{pos_embedding,
+# dropout,layers.encoder_layer_i.{ln_1,self_attention,dropout,ln_2,mlp},
+# ln}, heads.head — reference wrapper binds these (vision_transformer.py:46-51)
+# and drives them via self.vit in _process_input/forward.
+
+class _TVEncoderBlock(nn.Module):
+    def __init__(self, dim, num_heads, mlp_dim):
+        super().__init__()
+        self.ln_1 = nn.LayerNorm(dim, eps=1e-6)
+        self.self_attention = nn.MultiheadAttention(dim, num_heads,
+                                                    batch_first=True)
+        self.dropout = nn.Dropout(0.0)
+        self.ln_2 = nn.LayerNorm(dim, eps=1e-6)
+        self.mlp = nn.Sequential(nn.Linear(dim, mlp_dim), nn.GELU(),
+                                 nn.Dropout(0.0), nn.Linear(mlp_dim, dim),
+                                 nn.Dropout(0.0))
+
+    def forward(self, x):
+        h = self.ln_1(x)
+        h, _ = self.self_attention(h, h, h, need_weights=False)
+        x = x + self.dropout(h)
+        return x + self.mlp(self.ln_2(x))
+
+
+class _TVViTEncoder(nn.Module):
+    def __init__(self, seq_len, dim, depth, num_heads, mlp_dim):
+        super().__init__()
+        self.pos_embedding = nn.Parameter(
+            torch.empty(1, seq_len, dim).normal_(std=0.02))
+        self.dropout = nn.Dropout(0.0)
+        self.layers = nn.Sequential()
+        for i in range(depth):
+            self.layers.add_module(f"encoder_layer_{i}",
+                                   _TVEncoderBlock(dim, num_heads, mlp_dim))
+        self.ln = nn.LayerNorm(dim, eps=1e-6)
+
+    def forward(self, x):
+        return self.ln(self.layers(self.dropout(x + self.pos_embedding)))
+
+
+class TVViT(nn.Module):
+    def __init__(self, patch, dim, depth, num_heads, mlp_dim,
+                 image_size=224, num_classes=1000):
+        super().__init__()
+        self.patch_size = patch
+        self.hidden_dim = dim
+        self.conv_proj = nn.Conv2d(3, dim, patch, patch)
+        self.class_token = nn.Parameter(torch.zeros(1, 1, dim))
+        seq_len = (image_size // patch) ** 2 + 1
+        self.encoder = _TVViTEncoder(seq_len, dim, depth, num_heads,
+                                     mlp_dim)
+        import collections
+        self.heads = nn.Sequential(collections.OrderedDict(
+            head=nn.Linear(dim, num_classes)))
+
+    def forward(self, x):  # classifier path, as torchvision
+        n = x.shape[0]
+        p = self.conv_proj(x)
+        p = p.reshape(n, self.hidden_dim, -1).permute(0, 2, 1)
+        x = torch.cat([self.class_token.expand(n, -1, -1), p], dim=1)
+        return self.heads(self.encoder(x)[:, 0])
+
+
+_VIT_CFGS = {
+    "vit_b_16": (16, 768, 12, 12, 3072),
+    "vit_b_32": (32, 768, 12, 12, 3072),
+    "vit_l_16": (16, 1024, 24, 16, 4096),
+    "vit_l_32": (32, 1024, 24, 16, 4096),
+}
+
+
+def _vit_factory(name):
+    def factory(pretrained=False, **kw):
+        if pretrained:
+            raise RuntimeError("zero-egress: no pretrained weights")
+        return TVViT(*_VIT_CFGS[name], **kw)
+    return factory
+
+
+for _n in _VIT_CFGS:
+    globals()[_n] = _vit_factory(_n)

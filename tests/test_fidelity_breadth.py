@@ -2739,3 +2739,135 @@ def test_efficientnet_lite_matches_reference(subtype):
     assert len(feats) == len(want)
     for got, w in zip(feats, want):
         _allclose_rel(np.asarray(got).transpose(0, 3, 1, 2), w, atol=1e-4)
+
+
+@pytest.mark.parametrize("subtype", ["densenet121", "densenet161"])
+def test_densenet_backbone_matches_reference(subtype):
+    """DenseNet vs /root/reference/src/models/backbones/densenet.py:17-91
+    — layerN = denseblockN+transitionN so stage feats are POST-transition;
+    layer4 = denseblock4 alone (NO torchvision norm5/ReLU).  Upstream
+    quirk (documented below): the wrapper hardcodes pretrained=True
+    (densenet.py:27-38) then calls self.load_pretrained_weights() which
+    the class never defines, so construction always raises — numerics are
+    held against the torchvision-layout oracle sliced the same way."""
+    from src.models.backbones.densenet import Densenet as RefDense
+
+    from cvpytorch_tpu.models.backbones.misc_backbones import DenseNet
+    from tests.oracle_models import _DENSE_CFGS, TVDenseNet
+
+    with pytest.raises(AttributeError):
+        RefDense(subtype=subtype)
+
+    torch.manual_seed(0)
+    growth, init_ch, reps = _DENSE_CFGS[subtype]
+    tv = TVDenseNet(growth, init_ch, reps)
+    _randomize_bn(tv)
+    tv.eval()
+    x = np.random.RandomState(93).rand(1, 3, 64, 64).astype(np.float32)
+    f = tv.features
+    with torch.no_grad():
+        h = f.pool0(f.relu0(f.norm0(f.conv0(to_torch(x)))))
+        h = f.transition1(f.denseblock1(h))          # layer1
+        h2 = f.transition2(f.denseblock2(h))         # layer2
+        h3 = f.transition3(f.denseblock3(h2))        # layer3
+        h4 = f.denseblock4(h3)                       # layer4 (no norm5)
+        want = [t.numpy() for t in (h2, h3, h4)]
+
+    sd = tv.state_dict()
+
+    def bn(prefix):
+        return ({"scale": sd[f"{prefix}.weight"].numpy(),
+                 "bias": sd[f"{prefix}.bias"].numpy()},
+                {"mean": sd[f"{prefix}.running_mean"].numpy(),
+                 "var": sd[f"{prefix}.running_var"].numpy()})
+
+    def conv(prefix):
+        return {"kernel": sd[f"{prefix}.weight"].numpy()
+                .transpose(2, 3, 1, 0)}
+
+    params, stats = {}, {}
+    sp, ss = bn("features.norm0")
+    params["stem"] = {"conv": conv("features.conv0"), "bn": sp}
+    stats["stem"] = {"bn": ss}
+    for si, n in enumerate(reps, start=1):
+        for j in range(n):
+            pre = f"features.denseblock{si}.denselayer{j + 1}"
+            b1p, b1s = bn(f"{pre}.norm1")
+            b2p, b2s = bn(f"{pre}.norm2")
+            params[f"dense{si}_{j}"] = {
+                "bn1": b1p, "conv1": conv(f"{pre}.conv1"),
+                "bn2": b2p, "conv2": conv(f"{pre}.conv2")}
+            stats[f"dense{si}_{j}"] = {"bn1": b1s, "bn2": b2s}
+        if si < len(reps):
+            tp, ts = bn(f"features.transition{si}.norm")
+            params[f"trans{si}_bn"] = tp
+            stats[f"trans{si}_bn"] = ts
+            params[f"trans{si}_conv"] = conv(f"features.transition{si}.conv")
+
+    model = DenseNet(subtype=subtype, out_stages=(2, 3, 4))
+    xs = jnp.asarray(x.transpose(0, 2, 3, 1))
+    variables = model.init({"params": jax.random.PRNGKey(0)}, xs)
+    errs = verify_tree_shapes(params, dict(variables["params"]))
+    assert not errs, errs
+    feats = model.apply({"params": params, "batch_stats": stats}, xs,
+                        train=False)
+    assert len(feats) == len(want)
+    for got, w in zip(feats, want):
+        _allclose_rel(np.asarray(got).transpose(0, 3, 1, 2), w, atol=1e-4)
+
+
+@pytest.mark.parametrize("subtype", ["vit_b_32"])
+def test_vit_backbone_matches_reference(subtype):
+    """ViT vs /root/reference/src/models/backbones/vision_transformer.py:
+    20-114 — conv patchify → cls-token concat → pos-embed (on the full
+    sequence incl. cls) → pre-LN encoder blocks → final LN → head on
+    token 0.  classifier=False crashes upstream (self.heads unset,
+    vision_transformer.py:112) so the classifier path is the testable
+    surface."""
+    from src.models.backbones.vision_transformer import (
+        VisionTransformer as RefViT,
+    )
+
+    from cvpytorch_tpu.models.backbones.misc_backbones import ViT
+
+    torch.manual_seed(0)
+    num_classes = 13
+    ref = RefViT(subtype=subtype, classifier=True, num_classes=num_classes,
+                 pretrained=False)
+    ref.eval()
+    x = np.random.RandomState(94).rand(1, 3, 224, 224).astype(np.float32)
+    with torch.no_grad():
+        want = ref(to_torch(x)).numpy()
+
+    sd = ref.state_dict()
+    dim, depth, heads = {"vit_b_16": (768, 12, 12),
+                         "vit_b_32": (768, 12, 12)}[subtype]
+
+    def lin(prefix):
+        return {"kernel": sd[f"{prefix}.weight"].numpy().T,
+                "bias": sd[f"{prefix}.bias"].numpy()}
+
+    params = {
+        "patch_embed": {"kernel": sd["vit.conv_proj.weight"].numpy()
+                        .transpose(2, 3, 1, 0),
+                        "bias": sd["vit.conv_proj.bias"].numpy()},
+        "cls_token": sd["vit.class_token"].numpy(),
+        "pos_embed": sd["vit.encoder.pos_embedding"].numpy(),
+        "final_ln": _ln(sd, "vit.encoder.ln"),
+        "fc": lin("heads.head"),
+    }
+    for i in range(depth):
+        pre = f"vit.encoder.layers.encoder_layer_{i}"
+        params[f"ln1_{i}"] = _ln(sd, f"{pre}.ln_1")
+        params[f"attn_{i}"] = _port_mha(sd, f"{pre}.self_attention", heads)
+        params[f"ln2_{i}"] = _ln(sd, f"{pre}.ln_2")
+        params[f"mlp1_{i}"] = lin(f"{pre}.mlp.0")
+        params[f"mlp2_{i}"] = lin(f"{pre}.mlp.3")
+
+    model = ViT(subtype=subtype, classifier=True, num_classes=num_classes)
+    xs = jnp.asarray(x.transpose(0, 2, 3, 1))
+    variables = model.init({"params": jax.random.PRNGKey(0)}, xs)
+    errs = verify_tree_shapes(params, dict(variables["params"]))
+    assert not errs, errs
+    got = model.apply({"params": params}, xs, train=False)
+    _allclose_rel(np.asarray(got), want, atol=2e-4)
