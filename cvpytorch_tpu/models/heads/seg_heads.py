@@ -30,20 +30,30 @@ def resize_bilinear(x, size):
 
 @HEADS.register(name="FCNHead")
 class FCNHead(nn.Module):
-    """(reference: heads/seg/fcn_head.py)"""
+    """(reference: heads/seg/fcn_head.py:14-64 — conv stack, then with
+    is_concat=True a conv_cat over cat([input, feats]); every reference
+    yml passes is_concat=False but the code default is True)."""
 
     num_classes: int = 19
     channels: int = 256
     num_convs: int = 2
     in_index: int = -1
     dropout: float = 0.1
+    is_concat: bool = True
+    dilation: int = 1
 
     @nn.compact
     def __call__(self, feats, train: bool = False):
-        x = feats[self.in_index]
+        inp = feats[self.in_index] if isinstance(feats, (tuple, list)) \
+            else feats
+        x = inp
         for i in range(self.num_convs):
+            x = ConvBNAct(self.channels, 3, dilation=self.dilation,
+                          act="relu", **_BN, name=f"conv{i}")(x, train)
+        if self.is_concat:
             x = ConvBNAct(self.channels, 3, act="relu", **_BN,
-                          name=f"conv{i}")(x, train)
+                          name="conv_cat")(
+                jnp.concatenate([inp, x], axis=-1), train)
         x = nn.Dropout(self.dropout, deterministic=not train)(x)
         return nn.Conv(self.num_classes, (1, 1), name="cls")(x)
 

@@ -2871,3 +2871,81 @@ def test_vit_backbone_matches_reference(subtype):
     assert not errs, errs
     got = model.apply({"params": params}, xs, train=False)
     _allclose_rel(np.asarray(got), want, atol=2e-4)
+
+
+@pytest.mark.parametrize("is_concat", [True, False])
+def test_fcn_head_matches_reference(is_concat):
+    """FCNHead vs /root/reference/src/models/heads/seg/fcn_head.py:14-64
+    — conv stack then (is_concat) conv_cat over cat([input, feats]);
+    classify = dropout + 1x1 conv_seg (base_seg_head.py:32-37)."""
+    from src.models.heads.seg.fcn_head import FCNHead as RefHead
+
+    from cvpytorch_tpu.models.heads.seg_heads import FCNHead
+
+    torch.manual_seed(0)
+    ref = RefHead(num_classes=7, in_channels=48, channels=32, num_convs=2,
+                  is_concat=is_concat)
+    _randomize_bn(ref)
+    ref.eval()
+    x = np.random.RandomState(95).rand(2, 48, 16, 16).astype(np.float32)
+    with torch.no_grad():
+        want = ref(to_torch(x)).numpy()
+
+    sd = ref.state_dict()
+    params, stats = {}, {}
+    for i in range(2):
+        params[f"conv{i}"], stats[f"conv{i}"] = _conv_bn(sd, f"convs.{i}")
+    if is_concat:
+        params["conv_cat"], stats["conv_cat"] = _conv_bn(sd, "conv_cat")
+    params["cls"] = {"kernel": sd["cls_seg.weight"].numpy()
+                     .transpose(2, 3, 1, 0),
+                     "bias": sd["cls_seg.bias"].numpy()}
+
+    head = FCNHead(num_classes=7, channels=32, num_convs=2,
+                   is_concat=is_concat)
+    xs = jnp.asarray(x.transpose(0, 2, 3, 1))
+    variables = head.init({"params": jax.random.PRNGKey(0)}, (xs,))
+    errs = verify_tree_shapes(params, dict(variables["params"]))
+    assert not errs, errs
+    got = head.apply({"params": params, "batch_stats": stats}, (xs,),
+                     train=False)
+    _allclose_rel(np.asarray(got).transpose(0, 3, 1, 2), want, atol=1e-4)
+
+
+def test_deeplabv3_head_matches_reference():
+    """Deeplabv3Head (non-plus ASPP) vs /root/reference/src/models/heads/
+    seg/deeplabv3_head.py:49-79 — global-pool proj branch (bilinear
+    re-expanded, align_corners=False) + dense dilated ASPP + 3x3 reduce +
+    classify."""
+    from src.models.heads.seg.deeplabv3_head import Deeplabv3Head as RefHead
+
+    from cvpytorch_tpu.models.heads.seg_heads import Deeplabv3Head
+
+    torch.manual_seed(0)
+    ref = RefHead(num_classes=7, in_channels=64, channels=32,
+                  dilations=(1, 6, 12, 18))
+    _randomize_bn(ref)
+    ref.eval()
+    x = np.random.RandomState(96).rand(2, 64, 16, 16).astype(np.float32)
+    with torch.no_grad():
+        want = ref(to_torch(x)).numpy()
+
+    sd = ref.state_dict()
+    params, stats = {}, {}
+    params["proj"], stats["proj"] = _conv_bn(sd, "proj.1")
+    for i in range(4):
+        params[f"aspp{i}"], stats[f"aspp{i}"] = _conv_bn(sd, f"aspp.{i}")
+    params["reduce"], stats["reduce"] = _conv_bn(sd, "reduce")
+    params["cls"] = {"kernel": sd["cls_seg.weight"].numpy()
+                     .transpose(2, 3, 1, 0),
+                     "bias": sd["cls_seg.bias"].numpy()}
+
+    head = Deeplabv3Head(num_classes=7, channels=32,
+                         dilations=(1, 6, 12, 18))
+    xs = jnp.asarray(x.transpose(0, 2, 3, 1))
+    variables = head.init({"params": jax.random.PRNGKey(0)}, (xs,))
+    errs = verify_tree_shapes(params, dict(variables["params"]))
+    assert not errs, errs
+    got = head.apply({"params": params, "batch_stats": stats}, (xs,),
+                     train=False)
+    _allclose_rel(np.asarray(got).transpose(0, 3, 1, 2), want, atol=1e-4)
