@@ -18,10 +18,16 @@ from .dsl_assigner import _ranks
 INF = 1e8
 
 
-def atss_assign(priors, num_level_priors, decoded_boxes, gt_boxes,
+def atss_assign(priors, num_level_priors, cand_boxes, gt_boxes,
                 gt_labels, gt_valid, topk: int = 9):
     """Single image.  priors (P,4) cx,cy,s,s; num_level_priors: static
-    tuple of per-level prior counts (sums to P).
+    tuple of per-level prior counts (sums to P); cand_boxes (P,4) xyxy —
+    the boxes IoU'd against gt for candidate thresholding (GFL passes the
+    octave grid cells, gfl_head.py:471).
+
+    Exact reference numerics (atss.py:126-150): the per-gt threshold is
+    mean + SAMPLE std (torch .std(0), Bessel n−1) of the candidates'
+    IoUs, and center-in-gt uses min(l,t,r,b) > 0.01.
 
     Returns matched_gt (P,) (−1 background) and matched_iou (P,)."""
     P = priors.shape[0]
@@ -32,7 +38,7 @@ def atss_assign(priors, num_level_priors, decoded_boxes, gt_boxes,
     dist = jnp.sqrt((cx[:, None] - gcx[None, :]) ** 2 +
                     (cy[:, None] - gcy[None, :]) ** 2)  # (P, M)
 
-    ious = box_iou_matrix(decoded_boxes, gt_boxes)
+    ious = box_iou_matrix(cand_boxes, gt_boxes)
 
     # per-level top-k closest candidates
     candidate = jnp.zeros((P, M), bool)
@@ -45,15 +51,18 @@ def atss_assign(priors, num_level_priors, decoded_boxes, gt_boxes,
         start += n
     candidate = candidate & gt_valid[None, :]
 
-    cand_ious = jnp.where(candidate, ious, jnp.nan)
-    mean = jnp.nanmean(cand_ious, axis=0)  # (M,)
-    std = jnp.sqrt(jnp.nanmean((cand_ious - mean[None, :]) ** 2, axis=0))
-    thr = jnp.nan_to_num(mean + std)
+    k_cand = candidate.sum(0).astype(jnp.float32)          # (M,)
+    cand_ious = jnp.where(candidate, ious, 0.0)
+    mean = cand_ious.sum(0) / jnp.maximum(k_cand, 1.0)
+    var = jnp.where(candidate, (ious - mean[None, :]) ** 2, 0.0).sum(0) \
+        / jnp.maximum(k_cand - 1.0, 1.0)                   # Bessel, torch .std
+    thr = mean + jnp.sqrt(var)
 
-    inside = ((cx[:, None] > gt_boxes[None, :, 0]) &
-              (cx[:, None] < gt_boxes[None, :, 2]) &
-              (cy[:, None] > gt_boxes[None, :, 1]) &
-              (cy[:, None] < gt_boxes[None, :, 3]))
+    l = cx[:, None] - gt_boxes[None, :, 0]
+    t = cy[:, None] - gt_boxes[None, :, 1]
+    r = gt_boxes[None, :, 2] - cx[:, None]
+    b = gt_boxes[None, :, 3] - cy[:, None]
+    inside = jnp.minimum(jnp.minimum(l, t), jnp.minimum(r, b)) > 0.01
     pos = candidate & inside & (ious >= thr[None, :])
 
     # prior claimed by several gts keeps the max-IoU one

@@ -85,6 +85,94 @@ def decode_nanodet(preds, priors, num_classes, reg_max):
     return cls_logits, boxes, reg
 
 
+def center_priors_v1(featmap_sizes, strides):
+    """v1 GFL priors: centers at (i + 0.5)·stride (reference
+    gfl_head.py:614-631) — NanoDet-Plus drops the +0.5 (its
+    get_single_level_center_priors uses i·stride); (P,4) cx,cy,s,s."""
+    priors = []
+    for (h, w), s in zip(featmap_sizes, strides):
+        ys = (jax.lax.broadcasted_iota(jnp.float32, (h, w), 0) + 0.5) * s
+        xs = (jax.lax.broadcasted_iota(jnp.float32, (h, w), 1) + 0.5) * s
+        p = jnp.stack([xs, ys, jnp.full_like(xs, s), jnp.full_like(xs, s)],
+                      axis=-1)
+        priors.append(p.reshape(-1, 4))
+    return jnp.concatenate(priors, axis=0)
+
+
+def _aligned_iou(a, b):
+    """Elementwise IoU of aligned xyxy boxes (..., 4)."""
+    lt = jnp.maximum(a[..., :2], b[..., :2])
+    rb = jnp.minimum(a[..., 2:], b[..., 2:])
+    wh = jnp.clip(rb - lt, 0)
+    inter = wh[..., 0] * wh[..., 1]
+    area_a = jnp.clip(a[..., 2] - a[..., 0], 0) * jnp.clip(
+        a[..., 3] - a[..., 1], 0)
+    area_b = jnp.clip(b[..., 2] - b[..., 0], 0) * jnp.clip(
+        b[..., 3] - b[..., 1], 0)
+    return inter / jnp.maximum(area_a + area_b - inter, 1e-6)
+
+
+def nanodet_v1_loss(preds, priors, targets, num_classes, reg_max,
+                    num_level_priors, octave_base_scale: int = 5,
+                    topk: int = 9):
+    """NanoDet v1 GFL loss (reference gfl_head.py:264-385): ATSS
+    assignment on octave grid cells (scale·stride squares around the
+    +0.5 centers, gfl_head.py:633-650) instead of Plus's DSL, and the
+    QFL quality target is the ALIGNED IoU of the decoded prediction vs
+    its target box (gfl_head.py:352-356), not the assignment IoU.
+    Weighting/normalization match gfl_head.py: QFL / num_pos, GIoU and
+    DFL sigma-weighted by detached max-sigmoid scores / Σweights."""
+    from ..assigners.atss_assigner import atss_assign
+
+    cls_logits, decoded, reg = decode_nanodet(preds, priors, num_classes,
+                                              reg_max)
+    B, P, C = cls_logits.shape
+
+    half = 0.5 * octave_base_scale * priors[:, 2]
+    cells = jnp.stack([priors[:, 0] - half, priors[:, 1] - half,
+                       priors[:, 0] + half, priors[:, 1] + half], axis=-1)
+    assign = jax.vmap(
+        lambda gb, gl, gv: atss_assign(
+            priors, tuple(num_level_priors), cells, gb, gl, gv, topk)
+    )(targets["boxes"], targets["labels"], targets["valid"])
+    matched_gt = assign["matched_gt"]          # (B, P)
+
+    pos = matched_gt >= 0
+    safe_gt = jnp.maximum(matched_gt, 0)
+    gt_boxes = jnp.take_along_axis(
+        targets["boxes"], safe_gt[..., None], axis=1)  # (B,P,4)
+    gt_labels = jnp.take_along_axis(targets["labels"], safe_gt, axis=1)
+
+    labels = jnp.where(pos, gt_labels, num_classes)  # bg = C
+    num_pos = jnp.maximum(pos.sum().astype(jnp.float32), 1.0)
+
+    score = jax.lax.stop_gradient(
+        _aligned_iou(decoded, gt_boxes)) * pos   # (B,P)
+    qfl = quality_focal_loss(
+        cls_logits.reshape(-1, C), labels.reshape(-1), score.reshape(-1))
+    loss_qfl = qfl.sum() / num_pos
+
+    weight = jax.lax.stop_gradient(
+        jax.nn.sigmoid(cls_logits).max(-1)) * pos  # (B,P)
+    bbox_avg = jnp.maximum(weight.sum(), 1.0)
+    l_giou = giou_loss(decoded.reshape(-1, 4), gt_boxes.reshape(-1, 4))
+    loss_bbox = (l_giou * weight.reshape(-1) * 2.0).sum() / bbox_avg
+
+    cx, cy, s = priors[None, :, 0], priors[None, :, 1], priors[None, :, 2]
+    dist_t = jnp.stack([cx - gt_boxes[..., 0], cy - gt_boxes[..., 1],
+                        gt_boxes[..., 2] - cx, gt_boxes[..., 3] - cy],
+                       axis=-1) / s[..., None]
+    dist_t = jnp.clip(dist_t, 0, reg_max - 0.1)
+    dfl = distribution_focal_loss(
+        reg.reshape(-1, reg_max + 1), dist_t.reshape(-1))
+    w4 = jnp.repeat(weight.reshape(-1), 4)
+    loss_dfl = (dfl * w4 * 0.25).sum() / (4.0 * bbox_avg)
+
+    total = loss_qfl + loss_bbox + loss_dfl
+    return total, {"qfl_loss": loss_qfl, "bbox_loss": loss_bbox,
+                   "dfl_loss": loss_dfl}
+
+
 def nanodet_loss(preds, priors, targets, num_classes, reg_max,
                  topk: int = 13, assign_preds=None):
     """Full GFL loss over a padded-target batch.

@@ -2949,3 +2949,151 @@ def test_deeplabv3_head_matches_reference():
     got = head.apply({"params": params, "batch_stats": stats}, (xs,),
                      train=False)
     _allclose_rel(np.asarray(got).transpose(0, 3, 1, 2), want, atol=1e-4)
+
+
+def test_pan_neck_matches_reference():
+    """NanoDet v1 PAN vs /root/reference/src/models/necks/pan.py:17-56 +
+    fpn.py:20-49 — bias/norm/act-free 1x1 laterals, additive top-down
+    bilinear, additive bottom-up bilinear DOWNSAMPLE (pan.py:46-48); the
+    inherited 3x3 fpn_convs are never used in PAN.forward."""
+    from src.models.necks.pan import PAN as RefPAN
+
+    from cvpytorch_tpu.models.necks.pan import PAN
+
+    torch.manual_seed(0)
+    ref = RefPAN(in_channels=[16, 32, 64], out_channels=24)
+    ref.eval()
+    rs = np.random.RandomState(97)
+    feats_t = [torch.from_numpy(rs.rand(2, c, s, s).astype(np.float32))
+               for c, s in zip((16, 32, 64), (16, 8, 4))]
+    with torch.no_grad():
+        want = [o.numpy() for o in ref(feats_t)]
+
+    sd = ref.state_dict()
+    params = {f"lateral{i}": {"kernel": sd[f"lateral_convs.{i}.conv.weight"]
+                              .numpy().transpose(2, 3, 1, 0)}
+              for i in range(3)}
+
+    neck = PAN(out_channels=24)
+    feats = tuple(jnp.asarray(f.numpy().transpose(0, 2, 3, 1))
+                  for f in feats_t)
+    variables = neck.init({"params": jax.random.PRNGKey(0)}, feats)
+    errs = verify_tree_shapes(params, dict(variables["params"]))
+    assert not errs, errs
+    got = neck.apply({"params": params}, feats, train=False)
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        _allclose_rel(np.asarray(g).transpose(0, 3, 1, 2), w, atol=1e-5)
+
+
+def test_atss_assigner_matches_reference():
+    """ATSS vs /root/reference/src/models/assigners/atss.py:19-174 —
+    per-level distance top-k candidates, mean + SAMPLE-std IoU
+    threshold, center-in-gt (>0.01), max-IoU tie-break.  Driven exactly
+    like GFLHead.target_assign_single_img (gfl_head.py:452-471): cells
+    are octave_base_scale*stride squares around (i+0.5)*stride centers."""
+    from src.models.assigners.atss import ATSS as RefATSS
+
+    from cvpytorch_tpu.models.assigners.atss_assigner import atss_assign
+    from cvpytorch_tpu.models.heads.nanodet_head import center_priors_v1
+
+    strides = (8, 16, 32)
+    sizes = [(64 // s, 64 // s) for s in strides]
+    nlp = tuple(h * w for h, w in sizes)
+    priors = np.asarray(center_priors_v1(sizes, strides))
+    scale = 5
+    half = 0.5 * scale * priors[:, 2]
+    cells = np.stack([priors[:, 0] - half, priors[:, 1] - half,
+                      priors[:, 0] + half, priors[:, 1] + half], -1)
+
+    ref = RefATSS(topk=9)
+    rs = np.random.RandomState(98)
+    for trial in range(20):
+        m = rs.randint(1, 6)
+        x1 = rs.uniform(0, 40, m)
+        y1 = rs.uniform(0, 40, m)
+        w = rs.uniform(4, 24, m)
+        h = rs.uniform(4, 24, m)
+        gt = np.stack([x1, y1, np.minimum(x1 + w, 64),
+                       np.minimum(y1 + h, 64)], -1).astype(np.float32)
+        labels = rs.randint(0, 7, m)
+
+        res = ref.assign(torch.from_numpy(cells), list(nlp),
+                         torch.from_numpy(gt),
+                         gt_labels=torch.from_numpy(labels))
+        want = res.gt_inds.numpy() - 1          # 0-based, -1 bg
+
+        M = 8  # padded
+        gt_p = np.zeros((M, 4), np.float32)
+        gt_p[:m] = gt
+        lab_p = np.zeros((M,), np.int32)
+        lab_p[:m] = labels
+        valid = np.zeros((M,), bool)
+        valid[:m] = True
+        out = atss_assign(jnp.asarray(priors), nlp, jnp.asarray(cells),
+                          jnp.asarray(gt_p), jnp.asarray(lab_p),
+                          jnp.asarray(valid), topk=9)
+        got = np.asarray(out["matched_gt"])
+        assert (got == want).all(), (
+            trial, np.nonzero(got != want), got[got != want],
+            want[got != want])
+
+
+def test_nanodet_v1_shared_head_matches_reference():
+    """NanoDet v1 head (share_cls_reg=True, 3x3 DW stacks) vs
+    /root/reference/src/models/heads/nanodet_head.py:16-130 — identical
+    per-level compute to the Plus head at kernel_size=3: gfl_cls emits
+    cls+4*(reg_max+1) and splits; the parallel gfl_reg convs are
+    constructed but bypassed (nanodet_head.py:120-122), so their params
+    are dropped on port."""
+    from src.models.heads.nanodet_head import NanoDetHead as RefHead
+    from src.utils.config import CommonConfiguration as RefCfg
+
+    from cvpytorch_tpu.models.heads.nanodet_head import NanoDetPlusHead
+    from cvpytorch_tpu.utils.porting import (
+        NANODETPLUS_HEAD_RULES,
+        port_state_dict,
+    )
+
+    torch.manual_seed(0)
+    nc, ch, strides = 5, 32, [8, 16, 32]
+    loss_cfg = RefCfg.from_dict({
+        "loss_qfl": {"name": "QualityFocalLoss", "beta": 2.0,
+                     "loss_weight": 1.0},
+        "loss_dfl": {"name": "DistributionFocalLoss", "loss_weight": 0.25},
+        "loss_bbox": {"name": "GIoULoss", "loss_weight": 2.0},
+    })
+    ref = RefHead(num_classes=nc, loss=loss_cfg, input_channel=ch,
+                  feat_channels=ch, stacked_convs=2, share_cls_reg=True,
+                  strides=strides, octave_base_scale=5, reg_max=7,
+                  norm_cfg={"type": "BN"}, activation="LeakyReLU")
+    _randomize_bn(ref)
+    ref.eval()
+
+    rs = np.random.RandomState(99)
+    feats_t = [rs.rand(2, ch, 64 // s, 64 // s).astype(np.float32)
+               for s in strides]
+    with torch.no_grad():
+        cls_scores, bbox_preds = ref([to_torch(f) for f in feats_t])
+        want = np.concatenate(
+            [np.concatenate([c.permute(0, 2, 3, 1).reshape(2, -1, nc).numpy(),
+                             b.permute(0, 2, 3, 1).reshape(2, -1, 32).numpy()],
+                            -1)
+             for c, b in zip(cls_scores, bbox_preds)], axis=1)
+
+    sd = {k: v for k, v in ref.state_dict().items()
+          if not k.startswith(("loss_", "assigner", "gfl_reg"))}
+    ported = port_state_dict(sd, NANODETPLUS_HEAD_RULES, strict=True)
+
+    head = NanoDetPlusHead(num_classes=nc, feat_channels=ch,
+                           stacked_convs=2, kernel_size=3,
+                           strides=tuple(strides), reg_max=7,
+                           act="leaky_relu")
+    feats = tuple(jnp.asarray(f.transpose(0, 2, 3, 1)) for f in feats_t)
+    variables = head.init({"params": jax.random.PRNGKey(0)}, feats)
+    errs = verify_tree_shapes(ported["params"], dict(variables["params"]))
+    assert not errs, errs
+    got = head.apply(
+        {"params": ported["params"], "batch_stats": ported["batch_stats"]},
+        feats, False)
+    _allclose_rel(np.asarray(got), want, atol=2e-4)
