@@ -70,7 +70,13 @@ class DownA(nn.Module):
 
 
 class FeatureFusion(nn.Module):
-    """6-branch ELAN-W fusion (reference: yolov7_modules.py:98)."""
+    """6-branch ELAN-W fusion (reference: yolov7_modules.py:98).
+
+    Upstream quirk (yolov7_modules.py:111-119): the reference's forward
+    applies ``conv4`` THREE times (x5 = conv4(x4), x6 = conv4(x5)) —
+    its declared conv5/conv6 are dead parameters that never execute.
+    We reproduce the executed computation (shared conv4), verified by the
+    torch-oracle test; the dead modules are dropped at porting time."""
 
     out: int
 
@@ -81,9 +87,10 @@ class FeatureFusion(nn.Module):
         x1 = c(self.out, 1, "conv1")(x, train)
         x2 = c(self.out, 1, "conv2")(x, train)
         x3 = c(mid, 3, "conv3")(x2, train)
-        x4 = c(mid, 3, "conv4")(x3, train)
-        x5 = c(mid, 3, "conv5")(x4, train)
-        x6 = c(mid, 3, "conv6")(x5, train)
+        conv4 = c(mid, 3, "conv4")
+        x4 = conv4(x3, train)
+        x5 = conv4(x4, train)
+        x6 = conv4(x5, train)
         return c(self.out, 1, "conv7")(
             jnp.concatenate([x1, x2, x3, x4, x5, x6], -1), train)
 
@@ -107,6 +114,99 @@ class SPPCSPC(nn.Module):
             jnp.concatenate(pools, -1), train), train)
         y2 = c(hid, 1, "cv2")(x, train)
         return c(self.out, 1, "cv7")(jnp.concatenate([y1, y2], -1), train)
+
+
+class UpSampling(nn.Module):
+    """1×1-reduce deep + nearest ×2, 1×1 lateral, concat
+    (reference: yolov7_modules.py:85)."""
+
+    out: int
+
+    @nn.compact
+    def __call__(self, x, y, train: bool = False):
+        x = ConvBNAct(self.out, 1, act="silu", **_BN, name="conv1")(x, train)
+        y = ConvBNAct(self.out, 1, act="silu", **_BN, name="conv2")(y, train)
+        return jnp.concatenate([upsample2x(x), y], -1)
+
+
+class DownB(nn.Module):
+    """DownA plus a pass-through lateral concat
+    (reference: yolov7_modules.py:50)."""
+
+    out_half: int
+
+    @nn.compact
+    def __call__(self, x, y, train: bool = False):
+        b1 = nn.max_pool(x, (2, 2), strides=(2, 2))
+        b1 = ConvBNAct(self.out_half, 1, act="silu", **_BN,
+                       name="b1")(b1, train)
+        b2 = ConvBNAct(self.out_half, 1, act="silu", **_BN,
+                       name="b2a")(x, train)
+        b2 = ConvBNAct(self.out_half, 3, 2, act="silu", **_BN,
+                       name="b2b")(b2, train)
+        return jnp.concatenate([b1, b2, y], -1)
+
+
+class YOLOv7Neck(nn.Module):
+    """SPPCSPC bridge + PAN of FeatureFusion blocks
+    (reference: necks/yolov7_neck.py:13-57, oracle-tested end-to-end)."""
+
+    spp_out: int                 # = in_channels[0] in the reference ctor
+    out_channels: Sequence[int]  # (p3, p4, p5)
+
+    @nn.compact
+    def __call__(self, feats, train: bool = False):
+        x3, x4, x5 = feats
+        oc = self.out_channels
+        x5 = SPPCSPC(self.spp_out, name="spp")(x5, train)
+        x4_up = FeatureFusion(oc[1], name="featurefusion1_1")(
+            UpSampling(oc[1], name="up1_1")(x5, x4, train), train)
+        x3_up = FeatureFusion(oc[0], name="featurefusion1_2")(
+            UpSampling(oc[0], name="up1_2")(x4_up, x3, train), train)
+        x4_down = FeatureFusion(oc[1], name="featurefusion2_1")(
+            DownB(oc[0], name="down2_1")(x3_up, x4_up, train), train)
+        x5_down = FeatureFusion(oc[2], name="featurefusion2_2")(
+            DownB(oc[1], name="down2_2")(x4_down, x5, train), train)
+        return x3_up, x4_down, x5_down
+
+
+class RepConv(nn.Module):
+    """Train-form RepVGG-style conv with SiLU: 3×3+BN ∥ 1×1+BN
+    (∥ identity BN when shapes allow) summed (reference:
+    yolov7_modules.py:168-210; heads/yolov7_head.py wraps three of
+    these).  BN eps 1e-3 / torch momentum 0.03 per the reference
+    init_weight hooks."""
+
+    out: int
+    stride: int = 1
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        bn = dict(use_running_average=not train, momentum=0.97,
+                  epsilon=1e-3)
+        y3 = nn.Conv(self.out, (3, 3), strides=self.stride, padding=1,
+                     use_bias=False, name="rbr_dense_conv")(x)
+        y3 = nn.BatchNorm(**bn, name="rbr_dense_bn")(y3)
+        y1 = nn.Conv(self.out, (1, 1), strides=self.stride,
+                     use_bias=False, name="rbr_1x1_conv")(x)
+        y1 = nn.BatchNorm(**bn, name="rbr_1x1_bn")(y1)
+        out = y3 + y1
+        if self.stride == 1 and x.shape[-1] == self.out:
+            out = out + nn.BatchNorm(**bn, name="rbr_identity")(x)
+        return nn.silu(out)
+
+
+class YOLOv7Head(nn.Module):
+    """Three RepConvs, one per pyramid level
+    (reference: heads/yolov7_head.py:12-41)."""
+
+    out_channels: Sequence[int]
+
+    @nn.compact
+    def __call__(self, feats, train: bool = False):
+        return tuple(
+            RepConv(c, name=f"conv{i + 1}")(f, train)
+            for i, (f, c) in enumerate(zip(feats, self.out_channels)))
 
 
 @MODELS.register(name="YOLOv7")
@@ -150,26 +250,17 @@ class YOLOv7(nn.Module):
         x = DownA(ch(512), name="down4")(c4, train)
         c5 = EELAN(ch(256), ch(1024), name="elan4")(x, train)     # /32
 
-        # neck
-        p5 = SPPCSPC(ch(512), name="sppcspc")(c5, train)
-        u4 = ConvBNAct(ch(256), 1, act="silu", **_BN, name="up4_reduce")(p5, train)
-        l4 = ConvBNAct(ch(256), 1, act="silu", **_BN, name="lat4")(c4, train)
-        p4 = FeatureFusion(ch(256), name="ff4")(
-            jnp.concatenate([upsample2x(u4), l4], -1), train)
-        u3 = ConvBNAct(ch(128), 1, act="silu", **_BN, name="up3_reduce")(p4, train)
-        l3 = ConvBNAct(ch(128), 1, act="silu", **_BN, name="lat3")(c3, train)
-        p3 = FeatureFusion(ch(128), name="ff3")(
-            jnp.concatenate([upsample2x(u3), l3], -1), train)
-        d3 = DownA(ch(128), name="pan_down3")(p3, train)
-        p4 = FeatureFusion(ch(256), name="ff4b")(
-            jnp.concatenate([d3, p4], -1), train)
-        d4 = DownA(ch(256), name="pan_down4")(p4, train)
-        p5 = FeatureFusion(ch(512), name="ff5")(
-            jnp.concatenate([d4, p5], -1), train)
-        # RepConv-style 3x3 expand before detect
-        o3 = ConvBNAct(ch(256), 3, act="silu", **_BN, name="rep3")(p3, train)
-        o4 = ConvBNAct(ch(512), 3, act="silu", **_BN, name="rep4")(p4, train)
-        o5 = ConvBNAct(ch(1024), 3, act="silu", **_BN, name="rep5")(p5, train)
+        # neck (reference YOLOv7Neck: spp out = in_channels[0] = c3's width)
+        p3, p4, p5 = YOLOv7Neck(
+            spp_out=ch(512), out_channels=(ch(128), ch(256), ch(512)),
+            name="neck")((c3, c4, c5), train)
+        # head: RepConv expand per level (reference YOLOv7Head)
+        o3, o4, o5 = YOLOv7Head(
+            out_channels=(ch(256), ch(512), ch(1024)),
+            name="head")((p3, p4, p5), train)
+        # detect: the reference's wired YOLOv7Detect (yolov7_detect.py:73,
+        # conf/coco_yolov7.yml:69) is mathematically the YOLOv5 detect —
+        # the ImplicitA/M variant (YOLOv7Detect1) is dead code upstream.
         return self.detect((o3, o4, o5), train=train)
 
     def _normalized_targets(self, images, targets):

@@ -236,8 +236,18 @@ def random_affine(images, boxes, valid, key, degrees=0.0, translate=0.1,
     ms = random_affine_matrices(key, B, H, W, degrees, translate, scale,
                                 shear)
     inv = jax.vmap(invert_affine)(ms)
-    warp = affine_warp_separable if (degrees == 0.0 and shear == 0.0) \
-        else affine_warp
+    if degrees == 0.0 and shear == 0.0:
+        warp = affine_warp_separable
+    else:
+        # the general gather warp is ~45× slower than the separable MXU
+        # path (137.6 vs 3.06 ms per 8×640² batch on a v5e) — warn so a
+        # rotation/shear hyp doesn't silently eat the device-aug win
+        import logging
+        logging.getLogger("cvpytorch_tpu").warning(
+            "random_affine: degrees/shear != 0 uses the gather warp "
+            "(~45x slower than the separable path; set degrees=0, "
+            "shear=0 to stay on the MXU fast path)")
+        warp = affine_warp
     out = warp(images, inv, (H, W), fill)
     new_boxes = jax.vmap(transform_boxes)(boxes, ms)
     new_boxes = jnp.stack([

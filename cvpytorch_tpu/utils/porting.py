@@ -480,3 +480,27 @@ FCOS_HEAD_RULES = (
        (r"reg_pred", r"reg_out"),
        (r"scale_exp\.(\d)", r"scale\1")]
 )
+
+
+YOLOV7_NECK_RULES = [
+    # reference necks/yolov7_neck.py → models/yolov7.py::YOLOv7Neck
+    (r"spp\.cv(\d)\.(conv|bn)", r"spp/cv\1/\2"),
+    (r"up1_(\d)\.conv(\d)\.(conv|bn)", r"up1_\1/conv\2/\3"),
+    # FeatureFusion: the reference forward reuses conv4 three times —
+    # conv5/conv6 are dead parameters (yolov7_modules.py:111-119): drop.
+    (r"featurefusion(\d_\d)\.conv[56]\.(conv|bn)", r""),
+    (r"featurefusion(\d_\d)\.conv(\d)\.(conv|bn)",
+     r"featurefusion\1/conv\2/\3"),
+    (r"down2_(\d)\.branch1\.1\.(conv|bn)", r"down2_\1/b1/\2"),
+    (r"down2_(\d)\.branch2\.0\.(conv|bn)", r"down2_\1/b2a/\2"),
+    (r"down2_(\d)\.branch2\.1\.(conv|bn)", r"down2_\1/b2b/\2"),
+]
+
+YOLOV7_HEAD_RULES = [
+    # reference heads/yolov7_head.py (RepConv ×3) → YOLOv7Head
+    (r"conv(\d)\.rbr_dense\.0", r"conv\1/rbr_dense_conv"),
+    (r"conv(\d)\.rbr_dense\.1", r"conv\1/rbr_dense_bn"),
+    (r"conv(\d)\.rbr_1x1\.0", r"conv\1/rbr_1x1_conv"),
+    (r"conv(\d)\.rbr_1x1\.1", r"conv\1/rbr_1x1_bn"),
+    (r"conv(\d)\.rbr_identity", r"conv\1/rbr_identity"),
+]

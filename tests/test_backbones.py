@@ -63,7 +63,10 @@ def test_cspdarknet_width_depth(rng):
     # last_channel quirk (reference repvgg.py:167,184), oracle-verified
     ({"name": "RepVGG", "subtype": "RepVGG-A0"}, (96, 192, 512)),
     ({"name": "SqueezeNet"}, (128, 256, 512)),
-    ({"name": "DenseNet", "subtype": "densenet121"}, (512, 1024, 1024)),
+    # post-TRANSITION stage features (reference wrapper slicing, fixed in
+    # r3 and oracle-verified): transitions halve 512→256, 1024→512; the
+    # last block has no transition/norm5 → 1024
+    ({"name": "DenseNet", "subtype": "densenet121"}, (256, 512, 1024)),
 ])
 def test_extra_backbone_features(rng, cfg, ch_out):
     bb = build_backbone(cfg)
