@@ -155,17 +155,15 @@ def _rasterize_polygons(segm, height, width, out_size: int = 112):
             pts = np.asarray(poly, np.float64).reshape(-1, 2)
             cv2.fillPoly(mask, [pts.astype(np.int32)], 1)
     elif isinstance(segm, dict) and "counts" in segm:
-        # uncompressed RLE
-        if isinstance(segm["counts"], list):
-            rle = np.asarray(segm["counts"], np.int64)
-            flat = np.zeros(height * width, np.uint8)
-            pos, val = 0, 0
-            for run in rle:
-                if val:
-                    flat[pos:pos + run] = 1
-                pos += run
-                val ^= 1
-            mask = flat.reshape(width, height).T  # column-major
+        # RLE — uncompressed (list of counts) or compressed (string, the
+        # form COCO JSONs use for iscrowd regions; the reference reads it
+        # through pycocotools' C maskUtils, ours through the native codec)
+        from ...native import rle_decode_string, rle_to_mask
+        counts = segm["counts"]
+        if isinstance(counts, (str, bytes)):
+            counts = rle_decode_string(counts)
+        h, w = segm.get("size", [height, width])
+        mask = rle_to_mask(np.asarray(counts, np.int64), h, w)
     return cv2.resize(mask, (out_size, out_size),
                       interpolation=cv2.INTER_NEAREST).astype(np.float32)
 

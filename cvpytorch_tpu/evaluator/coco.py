@@ -67,11 +67,21 @@ def _box_iou(dt, gt, crowd):
 
 
 def _mask_iou(dt_masks, gt_masks, crowd):
-    """Binary-mask IoU (D, G); crowd → intersection/det_area."""
+    """Binary-mask IoU (D, G); crowd → intersection/det_area.
+
+    Large rasters (≥256²) go through the native C RLE codec (run-merge
+    intersection, O(runs) per pair — pycocotools-style, no densified
+    pairwise work); small mask grids use one BLAS matmul."""
     D, G = len(dt_masks), len(gt_masks)
     out = np.zeros((D, G))
     if D == 0 or G == 0:
         return out
+    if dt_masks[0].size >= 256 * 256:
+        from ..native import HAVE_NATIVE, rle_from_mask, rle_iou
+        if HAVE_NATIVE:
+            dt_rle = [rle_from_mask(np.asarray(m)) for m in dt_masks]
+            gt_rle = [rle_from_mask(np.asarray(m)) for m in gt_masks]
+            return rle_iou(dt_rle, gt_rle, np.asarray(crowd))
     d_flat = dt_masks.reshape(D, -1).astype(bool)
     g_flat = gt_masks.reshape(G, -1).astype(bool)
     # BLAS matmul: O(D·G) output with no (D, G, H·W) boolean temporary —
