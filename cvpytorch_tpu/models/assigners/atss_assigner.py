@@ -19,7 +19,9 @@ INF = 1e8
 
 
 def atss_assign(priors, num_level_priors, cand_boxes, gt_boxes,
-                gt_labels, gt_valid, topk: int = 9):
+                gt_labels, gt_valid, topk: int = 9,
+                center_eps: float = 0.01, strict_thr: bool = False,
+                dedup_unmasked: bool = False):
     """Single image.  priors (P,4) cx,cy,s,s; num_level_priors: static
     tuple of per-level prior counts (sums to P); cand_boxes (P,4) xyxy —
     the boxes IoU'd against gt for candidate thresholding (GFL passes the
@@ -28,6 +30,14 @@ def atss_assign(priors, num_level_priors, cand_boxes, gt_boxes,
     Exact reference numerics (atss.py:126-150): the per-gt threshold is
     mean + SAMPLE std (torch .std(0), Bessel n−1) of the candidates'
     IoUs, and center-in-gt uses min(l,t,r,b) > 0.01.
+
+    The YOLOv6-warmup flavor (reference atss_assigner.py:33-98,
+    assigner_utils.py:33-53) differs in ``center_eps=1e-9``, a strict
+    ``iou > thr`` comparison (``strict_thr=True``), and its multi-gt
+    dedup (``select_highest_overlaps``): an anchor positive for several
+    gts is reassigned by *unmasked* argmax over ALL gts' IoUs
+    (``dedup_unmasked=True``) — the mmdet/GFL flavor restricts the argmax
+    to the anchor's own positives.
 
     Returns matched_gt (P,) (−1 background) and matched_iou (P,)."""
     P = priors.shape[0]
@@ -62,11 +72,22 @@ def atss_assign(priors, num_level_priors, cand_boxes, gt_boxes,
     t = cy[:, None] - gt_boxes[None, :, 1]
     r = gt_boxes[None, :, 2] - cx[:, None]
     b = gt_boxes[None, :, 3] - cy[:, None]
-    inside = jnp.minimum(jnp.minimum(l, t), jnp.minimum(r, b)) > 0.01
-    pos = candidate & inside & (ious >= thr[None, :])
+    inside = jnp.minimum(jnp.minimum(l, t), jnp.minimum(r, b)) > center_eps
+    above = (ious > thr[None, :]) if strict_thr else (ious >= thr[None, :])
+    pos = candidate & inside & above
 
     # prior claimed by several gts keeps the max-IoU one
-    best_gt = jnp.argmax(jnp.where(pos, ious, -1.0), axis=-1)
+    if dedup_unmasked:
+        # reference assigner_utils.py:56-76: multi-positive anchors take
+        # the unmasked argmax over every gt's IoU (invalid gts are zero
+        # boxes with IoU 0, never the max of a multi-positive anchor)
+        multi = pos.sum(-1) > 1
+        best_gt = jnp.where(
+            multi,
+            jnp.argmax(jnp.where(gt_valid[None, :], ious, -1.0), axis=-1),
+            jnp.argmax(jnp.where(pos, ious, -1.0), axis=-1))
+    else:
+        best_gt = jnp.argmax(jnp.where(pos, ious, -1.0), axis=-1)
     fg = pos.any(-1)
     matched_gt = jnp.where(fg, best_gt, -1)
     matched_iou = jnp.where(

@@ -2,8 +2,18 @@
 (RepVGG blocks), neck RepBiPAN, head Effidehead, loss yolov6_loss.py:18 —
 TAL assignment + VarifocalLoss + IoU(+DFL)).
 
-The ATSS→TAL warmup switch (reference yolov6_loss.py warmup_epoch) is
-simplified to TAL-from-start (the stable post-warmup configuration)."""
+ATSS→TAL warmup: the loss trains the first ``warmup_epoch=4`` epochs with
+the ATSS assigner over 5·stride grid-cell anchors, then switches to TAL
+(reference yolov6_loss.py:80-97).  The trainer threads the epoch into the
+batch targets (``targets['epoch']``, a traced scalar), so the switch is a
+``lax.cond`` — one compiled program, no retrace at the boundary.
+
+Upstream quirk (documented, not replicated): the reference's shipped
+wiring never forwards ``epoch_num`` to the loss
+(``single_stage.py:97-103`` calls ``l(preds, targets)`` — defaults
+``epoch_num=0``), so as shipped it trains with ATSS *forever*.  We
+implement the loss code's documented intent (meituan YOLOv6 semantics):
+warmup epochs ATSS, then TAL."""
 from __future__ import annotations
 
 from typing import Any, Sequence
@@ -16,6 +26,7 @@ from flax import linen as nn
 from ..ops.boxes import bbox_iou, clip_boxes, unletterbox_boxes
 from ..ops.nms import batched_nms
 from ..registry import MODELS
+from .assigners.atss_assigner import atss_assign
 from .assigners.tal_assigner import tal_assign
 from .backbones.csp_darknet import SIZE_CFG
 from functools import partial
@@ -229,19 +240,49 @@ def varifocal_loss(logits, targets, labels_onehot, alpha=0.75, gamma=2.0):
     return bce * weight
 
 
-def yolov6_loss(preds, priors, targets, num_classes):
+def yolov6_loss(preds, priors, targets, num_classes,
+                num_level_priors=None, epoch=None, warmup_epoch: int = 4):
+    """``epoch``: traced int scalar (or None).  When given together with
+    ``num_level_priors``, epochs < ``warmup_epoch`` assign with ATSS over
+    5·stride grid-cell anchors and soft-label with IoU(pred, gt)
+    (reference yolov6_loss.py:80-97, atss_assigner.py:92-96); later epochs
+    (and epoch=None) use TAL (yolov6_loss.py:89-97)."""
     reg = preds[..., :4]
     cls_logits = preds[..., 4:]
     boxes = decode_yolov6(preds, priors)
     B, P = cls_logits.shape[:2]
+    boxes_d = jax.lax.stop_gradient(boxes)
 
-    assign = jax.vmap(
-        lambda cs, db, gb, gl, gv: tal_assign(cs, priors, db, gb, gl, gv)
-    )(jax.lax.stop_gradient(jax.nn.sigmoid(cls_logits)),
-      jax.lax.stop_gradient(boxes),
-      targets["boxes"], targets["labels"], targets["valid"])
-    matched_gt = assign["matched_gt"]
-    align = assign["align_metric"]
+    def _tal_branch(_):
+        assign = jax.vmap(
+            lambda cs, db, gb, gl, gv: tal_assign(cs, priors, db, gb, gl, gv)
+        )(jax.lax.stop_gradient(jax.nn.sigmoid(cls_logits)), boxes_d,
+          targets["boxes"], targets["labels"], targets["valid"])
+        return assign["matched_gt"], assign["align_metric"]
+
+    def _atss_branch(_):
+        # anchors are grid cells of side grid_cell_size(5)·stride centered
+        # on the priors (reference yolov6_loss.py generate_anchors)
+        half = priors[:, 2:3] * 2.5
+        anchor_boxes = jnp.concatenate(
+            [priors[:, :2] - half, priors[:, :2] + half], -1)
+        assign = jax.vmap(lambda gb, gl, gv: atss_assign(
+            priors, num_level_priors, anchor_boxes, gb, gl, gv,
+            topk=9, center_eps=1e-9, strict_thr=True, dedup_unmasked=True,
+        ))(targets["boxes"], targets["labels"], targets["valid"])
+        mg = assign["matched_gt"]
+        gt_b = jnp.take_along_axis(
+            targets["boxes"], jnp.maximum(mg, 0)[..., None], axis=1)
+        # warmup soft label = IoU(predicted box, assigned gt)
+        # (reference atss_assigner.py:92-96: target_scores *= ious)
+        align = bbox_iou(boxes_d, gt_b, iou_type="iou") * (mg >= 0)
+        return mg, align
+
+    if epoch is None or num_level_priors is None:
+        matched_gt, align = _tal_branch(None)
+    else:
+        matched_gt, align = jax.lax.cond(
+            epoch < warmup_epoch, _atss_branch, _tal_branch, None)
     pos = matched_gt >= 0
     safe = jnp.maximum(matched_gt, 0)
     gt_boxes = jnp.take_along_axis(targets["boxes"], safe[..., None], axis=1)
@@ -270,6 +311,9 @@ class YOLOv6(nn.Module):
     conf_threshold: float = 0.03
     iou_threshold: float = 0.65
     max_det: int = 300
+    # epochs assigned with ATSS before switching to TAL
+    # (reference yolov6_loss.py:27 warmup_epoch=4)
+    warmup_epoch: int = 4
 
     def setup(self):
         self.num_classes = max(len(self.dictionary), 1)
@@ -312,11 +356,16 @@ class YOLOv6(nn.Module):
         train = mode == "train"
         preds, priors = self._forward(images, train=train)
         if mode in ("train", "val"):
+            h, w = images.shape[1:3]
+            nlp = tuple((h // s) * (w // s) for s in STRIDES)
             total, losses = yolov6_loss(
                 preds, priors,
                 {"boxes": targets["boxes"], "labels": targets["labels"],
                  "valid": targets["valid"]},
-                self.num_classes)
+                self.num_classes,
+                num_level_priors=nlp,
+                epoch=targets.get("epoch") if hasattr(targets, "get") else None,
+                warmup_epoch=self.warmup_epoch)
             losses = {**losses, "loss": total}
             if mode == "train":
                 return total, losses

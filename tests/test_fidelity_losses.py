@@ -299,3 +299,160 @@ def test_detail_aggregate_loss_matches_reference():
     bce_g, dice_g = detail_loss(jnp.asarray(logits), jnp.asarray(labels))
     np.testing.assert_allclose(float(bce_g), float(bce_w), rtol=1e-5)
     np.testing.assert_allclose(float(dice_g), float(dice_w), rtol=1e-5)
+
+
+def _yolov6_priors(img=64, strides=(8, 16, 32)):
+    """(cx,cy,s,s) priors at (i+0.5)*stride, like YOLOv6._forward."""
+    from cvpytorch_tpu.models.heads.nanodet_head import center_priors
+
+    sizes = [(img // s, img // s) for s in strides]
+    priors = np.array(center_priors(sizes, strides))
+    priors[:, 0:2] += priors[:, 2:4] * 0.5
+    return priors, tuple(h * w for h, w in sizes)
+
+
+def test_yolov6_warmup_anchors_match_reference():
+    """Warmup grid-cell anchors (center ± 2.5·stride) vs the reference's
+    generate_anchors (yolov6_anchor_generator.py:39-53, grid_cell_size=5,
+    offset=0.5)."""
+    import torch as _t
+
+    from src.models.anchors.yolov6_anchor_generator import generate_anchors
+
+    img, strides = 64, (8, 16, 32)
+    feats = [_t.zeros(1, 8, img // s, img // s) for s in strides]
+    anchors, anchor_points, nlp, stride_tensor = generate_anchors(
+        feats, list(strides), 5.0, 0.5, device="cpu")
+
+    priors, nlp_ours = _yolov6_priors(img, strides)
+    assert tuple(nlp) == nlp_ours
+    half = priors[:, 2:3] * 2.5
+    ours = np.concatenate([priors[:, :2] - half, priors[:, :2] + half], -1)
+    np.testing.assert_allclose(ours, anchors.numpy(), atol=1e-6)
+    np.testing.assert_allclose(priors[:, :2], anchor_points.numpy(),
+                               atol=1e-6)
+
+
+def test_yolov6_warmup_atss_matches_reference():
+    """The ATSS warmup assignment (epochs < warmup_epoch) vs the
+    reference's meituan-flavor ATSSAssigner
+    (atss_assigner.py:29-98: strict iou>thr, center eps 1e-9,
+    unmasked-argmax multi-gt dedup, IoU(pred,gt) soft labels)."""
+    import torch as _t
+
+    from src.models.assigners.atss_assigner import ATSSAssigner
+
+    from cvpytorch_tpu.models.assigners.atss_assigner import atss_assign
+    from cvpytorch_tpu.ops.boxes import bbox_iou
+
+    # img=96 keeps every level >= topk anchors: the reference assigner
+    # crashes outright when a level has < topk (atss_assigner.py:114
+    # repeats mask_gt by topk but topk's selected_k shrinks) -- never hit
+    # at its real 640 input size
+    img, C, Mpad = 96, 7, 8
+    priors, nlp = _yolov6_priors(img)
+    P = priors.shape[0]
+    half = priors[:, 2:3] * 2.5
+    anchor_boxes = np.concatenate(
+        [priors[:, :2] - half, priors[:, :2] + half], -1).astype(np.float32)
+
+    ref = ATSSAssigner(topk=9, num_classes=C)
+    rs = np.random.RandomState(77)
+    checked_fg = 0
+    for trial in range(20):
+        B = rs.randint(1, 3)
+        gt_p = np.zeros((B, Mpad, 4), np.float32)
+        lab_p = np.zeros((B, Mpad), np.int32)
+        valid = np.zeros((B, Mpad), bool)
+        for b in range(B):
+            m = rs.randint(1, 6)
+            x1 = rs.uniform(0, 64, m)
+            y1 = rs.uniform(0, 64, m)
+            w = rs.uniform(6, 40, m)
+            h = rs.uniform(6, 40, m)
+            gt_p[b, :m] = np.stack(
+                [x1, y1, np.minimum(x1 + w, img), np.minimum(y1 + h, img)],
+                -1)
+            lab_p[b, :m] = rs.randint(0, C, m)
+            valid[b, :m] = True
+        # predicted boxes: jittered gts scattered over anchors + noise
+        pd = np.zeros((B, P, 4), np.float32)
+        cx = priors[:, 0] + rs.uniform(-4, 4, P)
+        cy = priors[:, 1] + rs.uniform(-4, 4, P)
+        pw = rs.uniform(4, 24, P)
+        ph = rs.uniform(4, 24, P)
+        pd[:] = np.stack([cx - pw / 2, cy - ph / 2,
+                          cx + pw / 2, cy + ph / 2], -1)
+
+        with _t.no_grad():
+            t_lab, t_box, t_sc, t_fg = ref(
+                _t.from_numpy(anchor_boxes), list(nlp),
+                _t.from_numpy(lab_p.astype(np.float32))[..., None],
+                _t.from_numpy(gt_p),
+                _t.from_numpy(valid.astype(np.float32))[..., None],
+                _t.from_numpy(pd))
+
+        out = jax.vmap(lambda gb, gl, gv: atss_assign(
+            jnp.asarray(priors), nlp, jnp.asarray(anchor_boxes),
+            gb, gl, gv, topk=9, center_eps=1e-9, strict_thr=True,
+            dedup_unmasked=True,
+        ))(jnp.asarray(gt_p), jnp.asarray(lab_p), jnp.asarray(valid))
+        mg = np.asarray(out["matched_gt"])
+        fg = mg >= 0
+        checked_fg += int(fg.sum())
+
+        assert (fg == t_fg.numpy()).all(), trial
+        got_lab = np.where(fg, np.take_along_axis(
+            lab_p, np.maximum(mg, 0), axis=1), C)
+        assert (got_lab == t_lab.numpy()).all(), trial
+        got_box = np.take_along_axis(
+            gt_p, np.maximum(mg, 0)[..., None], axis=1) * fg[..., None]
+        np.testing.assert_allclose(
+            got_box, t_box.numpy() * t_fg.numpy()[..., None], atol=1e-5)
+        # soft label: onehot(label) * IoU(pred box, assigned gt)
+        align = np.asarray(bbox_iou(
+            jnp.asarray(pd),
+            jnp.take_along_axis(jnp.asarray(gt_p),
+                                jnp.maximum(jnp.asarray(mg), 0)[..., None],
+                                axis=1))) * fg
+        soft = (np.eye(C, dtype=np.float32)[got_lab % C]
+                * fg[..., None] * align[..., None])
+        np.testing.assert_allclose(soft, t_sc.numpy(), atol=1e-5)
+    assert checked_fg > 50  # the scenes actually exercised assignment
+
+
+def test_yolov6_loss_warmup_switch():
+    """yolov6_loss under jit: epoch<warmup uses the ATSS branch, epoch>=
+    warmup the TAL branch, switched by lax.cond on a traced scalar
+    (reference yolov6_loss.py:80-97).  Both emit finite losses and the
+    branch actually changes the value."""
+    from cvpytorch_tpu.models.yolov6 import yolov6_loss
+
+    rs = np.random.RandomState(3)
+    priors, nlp = _yolov6_priors(64)
+    P = priors.shape[0]
+    C, B, M = 7, 2, 8
+    preds = jnp.asarray(rs.randn(B, P, 4 + C).astype(np.float32))
+    gt = np.zeros((B, M, 4), np.float32)
+    gt[:, 0] = [8, 8, 40, 40]
+    gt[:, 1] = [30, 24, 62, 60]
+    targets = {"boxes": jnp.asarray(gt),
+               "labels": jnp.zeros((B, M), jnp.int32),
+               "valid": jnp.asarray(np.arange(M)[None, :] < 2).repeat(B, 0)}
+
+    @jax.jit
+    def run(epoch):
+        total, losses = yolov6_loss(preds, jnp.asarray(priors), targets, C,
+                                    num_level_priors=nlp, epoch=epoch,
+                                    warmup_epoch=4)
+        return total
+
+    warm = float(run(jnp.int32(0)))
+    main = float(run(jnp.int32(4)))
+    assert np.isfinite(warm) and np.isfinite(main)
+    assert warm != main  # branches differ
+
+    # epoch=None (and val paths) fall back to TAL
+    total_none, _ = yolov6_loss(preds, jnp.asarray(priors), targets, C,
+                                num_level_priors=nlp, epoch=None)
+    np.testing.assert_allclose(float(total_none), main, rtol=1e-5)
