@@ -106,6 +106,7 @@ def make_train_step(
     amp: bool = False,
     ema_decay: float = 0.0,
     donate: bool = True,
+    preprocess=None,
 ):
     """Build the jitted train step.
 
@@ -113,9 +114,17 @@ def make_train_step(
     axis; differentiating the *global* mean loss makes XLA emit the gradient
     all-reduce (replacing DDP, reference: trainer.py:313), and metrics are
     global means with no host-side reduce_dict.
+
+    ``preprocess`` (optional, traceable ``batch -> batch``) runs INSIDE the
+    jit — the device-aug path (raw uint8 tiles → mosaic/affine/HSV/flip →
+    train batch) fuses into the same program, so one relay dispatch covers
+    aug + fwd + bwd + update instead of ~7 (the r3 e2e bench paid the
+    ~33 ms axon dispatch floor per un-fused call).
     """
 
     def train_step(state: TrainState, batch: Any) -> tuple[TrainState, dict]:
+        if preprocess is not None:
+            batch = preprocess(batch)
         step_rng = jax.random.fold_in(state.rng, state.step)
 
         def loss_fn(params):

@@ -227,7 +227,13 @@ class Trainer:
             # EMA: {DECAY: d} → configurable
             ema_decay = float(cfg.EMA.get("DECAY", 0.9999)) \
                 if hasattr(cfg.EMA, "get") else 0.9999
-        train_step = make_train_step(amp=bool(cfg.AMP), ema_decay=ema_decay)
+        train_step = make_train_step(
+            amp=bool(cfg.AMP), ema_decay=ema_decay,
+            # device aug runs INSIDE the train-step jit: one dispatch per
+            # step (the separate _apply_device_aug call paid an extra
+            # relay round-trip per step; kept only for state init above)
+            preprocess=self._device_aug_preprocess()
+            if getattr(self, "_device_aug_size", None) else None)
         eval_step = make_eval_step(use_ema=bool(cfg.EMA))
 
         ckpts = writer = None
@@ -302,6 +308,42 @@ class Trainer:
             },
         }
 
+    def _device_aug_preprocess(self):
+        """Traceable raw-tiles → train-batch transform for
+        ``make_train_step(preprocess=...)``: the same fused mosaic/affine/
+        HSV/flip program as :meth:`_apply_device_aug`, but traced into the
+        train-step jit so aug + fwd + bwd + update is ONE dispatch.  The
+        per-step RNG folds in the traced ``target['aug_step']`` scalar —
+        no retrace across steps."""
+        import jax.numpy as jnp
+
+        from .ops.augment import fused_det_augment
+
+        size = self._device_aug_size
+        seed = int(self.cfg.SEED or 0) + 7919
+
+        def preprocess(batch):
+            t = batch["target"]
+            key = jax.random.fold_in(jax.random.PRNGKey(seed),
+                                     t["aug_step"])
+            imgs, boxes, keep = fused_det_augment(
+                batch["image"], t["boxes"], t["valid"], key, size)
+            B = imgs.shape[0]
+            new_t = {
+                "boxes": boxes,
+                "labels": t["labels"].reshape(B, -1),
+                "valid": keep,
+                "pads": jnp.zeros((B, 2), jnp.float32),
+                "scales": jnp.ones((B, 2), jnp.float32),
+                "height": jnp.full((B,), size, jnp.int32),
+                "width": jnp.full((B,), size, jnp.int32),
+            }
+            if "epoch" in t:
+                new_t["epoch"] = t["epoch"]
+            return {**batch, "image": imgs, "target": new_t}
+
+        return preprocess
+
     def _profiler_hook(self, step: int):
         """YAML-driven jax.profiler trace (SURVEY §5.1 TPU plan; the
         reference has no profiler hook at all).
@@ -334,8 +376,15 @@ class Trainer:
         dev_aug = getattr(self, "_device_aug_size", None)
         for it, batch in enumerate(loader):
             gstep = epoch * len(loader) + it
-            if dev_aug:
-                batch = self._apply_device_aug(batch, gstep)
+            if isinstance(batch.get("target"), dict):
+                # traced scalars: epoch-scheduled losses (YOLOv6 ATSS→TAL
+                # warmup) switch via lax.cond, and the in-jit device-aug
+                # RNG folds in aug_step — neither retraces across steps
+                # (reference trainer.py:180 threads epoch the same way)
+                extra = {"epoch": np.int32(epoch)}
+                if dev_aug:
+                    extra["aug_step"] = np.int32(gstep)
+                batch = {**batch, "target": {**batch["target"], **extra}}
             self._profiler_hook(gstep)
             sbatch = pmesh.shard_batch(self.mesh, batch)
             state, metrics = train_step(state, sbatch)
