@@ -10,8 +10,17 @@ axis, gradients of the *global* loss are already averaged, and BatchNorm
 moments computed on the logical global batch give SyncBN semantics for free.
 
 Axes:
-  * ``data``  — batch sharding (data parallel; replaces DDP)
-  * ``model`` — reserved for tensor parallel (width-sharded convs/matmuls)
+  * ``data``    — batch sharding (data parallel; replaces DDP)
+  * ``model``   — tensor parallel (width-sharded convs/matmuls)
+  * ``spatial`` — image-height sharding for activation-bound seg training
+    (1024×2048 Cityscapes through UNet/SegNeXt exceeds per-chip HBM at
+    batch).  TRAIN-capable: the batch's H dim is annotated inside the
+    ordinary jit train step and GSPMD spatially partitions every conv,
+    inserting the halo exchanges itself and computing BatchNorm moments
+    over the logical global extent — semantics-preserving, so sharded
+    training is EXACT vs unsharded (test_parallel_spatial).  The
+    explicit overlap-tile ``shard_map`` path (parallel/spatial.py)
+    remains the lower-comm eval/inference alternative.
 """
 from __future__ import annotations
 
@@ -25,6 +34,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
 MODEL_AXIS = "model"
+SPATIAL_AXIS = "spatial"
 
 
 def initialize_distributed():
@@ -40,23 +50,26 @@ def initialize_distributed():
 def create_mesh(
     data: int | None = None,
     model: int = 1,
+    spatial: int = 1,
     devices: Sequence[jax.Device] | None = None,
 ) -> Mesh:
-    """Build a ``(data, model)`` mesh.
+    """Build a ``(data, model, spatial)`` mesh.
 
     ``data=None`` consumes all remaining devices.  The data axis is placed
-    outermost so DP gradient reductions ride ICI rings.
+    outermost so DP gradient reductions ride ICI rings; spatial innermost
+    so conv halo exchanges are nearest-neighbor hops.
     """
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
     if data is None:
-        if n % model:
-            raise ValueError(f"{n} devices not divisible by model={model}")
-        data = n // model
-    if data * model != n:
-        raise ValueError(f"mesh {data}x{model} != {n} devices")
-    dev_array = np.asarray(devices).reshape(data, model)
-    return Mesh(dev_array, (DATA_AXIS, MODEL_AXIS))
+        if n % (model * spatial):
+            raise ValueError(
+                f"{n} devices not divisible by model={model}*spatial={spatial}")
+        data = n // (model * spatial)
+    if data * model * spatial != n:
+        raise ValueError(f"mesh {data}x{model}x{spatial} != {n} devices")
+    dev_array = np.asarray(devices).reshape(data, model, spatial)
+    return Mesh(dev_array, (DATA_AXIS, MODEL_AXIS, SPATIAL_AXIS))
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:
@@ -69,21 +82,37 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, batch: Any) -> Any:
-    """Place a host batch pytree onto the mesh, sharded on dim 0.
+    """Place a host batch pytree onto the mesh, sharded on dim 0 — and,
+    when the mesh has a ``spatial`` axis, images (4-D/5-D ``image`` leaf)
+    additionally sharded on their height dim: GSPMD spatially partitions
+    the convs under jit, inserting halo exchanges and keeping BN moments
+    global (exact train-mode spatial parallelism).
 
     Replaces DistributedSampler + per-rank H2D copies
     (reference: trainer.py:97,156-175).
     """
     n_data = mesh.shape[DATA_AXIS]
+    n_sp = dict(mesh.shape).get(SPATIAL_AXIS, 1)
 
-    def _put(x):
+    def _put(x, h_dim=None):
         x = np.asarray(x)
         if x.ndim == 0 or x.shape[0] % n_data:
             # last partial val batch (drop_last=False) can't split evenly
             # across the data axis — place it replicated instead of crashing
             return jax.device_put(x, replicated(mesh))
-        return jax.device_put(x, NamedSharding(mesh, P(DATA_AXIS, *([None] * (x.ndim - 1)))))
+        spec = [DATA_AXIS] + [None] * (x.ndim - 1)
+        if h_dim is not None and n_sp > 1 and x.shape[h_dim] % n_sp == 0:
+            spec[h_dim] = SPATIAL_AXIS
+        return jax.device_put(x, NamedSharding(mesh, P(*spec)))
 
+    if isinstance(batch, dict) and "image" in batch:
+        img = np.asarray(batch["image"])
+        # (B,H,W,C) trained batches; (B,G,H,W,C) raw device-aug tile groups
+        h_dim = 1 if img.ndim == 4 else (2 if img.ndim == 5 else None)
+        rest = {k: v for k, v in batch.items() if k != "image"}
+        out = jax.tree_util.tree_map(_put, rest)
+        out["image"] = _put(img, h_dim=h_dim)
+        return out
     return jax.tree_util.tree_map(_put, batch)
 
 

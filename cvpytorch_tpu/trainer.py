@@ -60,12 +60,17 @@ class Trainer:
         self.rng = setup_seed(int(cfg.SEED or DEFAULT_SEED))
         self.start_epoch = -1
         self.n_epochs = int(cfg.N_MAX_EPOCHS or 1)
-        # PARALLEL: {MODEL: n} — width-shard weights over a tensor-parallel
-        # mesh axis (beyond the reference's DDP; parallel/mesh.py)
+        # PARALLEL: {MODEL: n, SPATIAL: m} — width-shard weights over a
+        # tensor-parallel axis and/or shard image HEIGHT over a spatial
+        # axis (GSPMD conv halo exchange + global BN moments — exact
+        # train-mode spatial parallelism for activation-bound seg configs;
+        # both beyond the reference's DDP; parallel/mesh.py)
         par = cfg.PARALLEL
-        self.tp = int((par.get("MODEL", 1) if hasattr(par, "get") else 1)
-                      or 1) if par else 1
-        self.mesh = pmesh.create_mesh(model=self.tp)
+        get_par = par.get if (par and hasattr(par, "get")) else \
+            (lambda k, d=None: d)
+        self.tp = int(get_par("MODEL", 1) or 1)
+        self.sp = int(get_par("SPATIAL", 1) or 1)
+        self.mesh = pmesh.create_mesh(model=self.tp, spatial=self.sp)
         self.logger.info(
             "devices: %d (%s), mesh: %s",
             len(jax.devices()), jax.devices()[0].platform, self.mesh.shape,

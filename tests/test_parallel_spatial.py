@@ -78,3 +78,61 @@ def test_spatial_sharded_stride_chain_interior():
     # the image-interior (away from the r≈4-row outer border) is exact,
     # including every tile seam
     np.testing.assert_allclose(got[:, 6:-6], ref[:, 6:-6], atol=1e-5)
+
+@pytest.mark.skipif(len(jax.devices()) < 4, reason="needs virtual mesh")
+def test_spatial_sharded_training_exact():
+    """TRAIN-mode spatial parallelism (VERDICT r3 #7): the batch's H dim
+    is annotated over the mesh's ``spatial`` axis inside the ordinary jit
+    train step; GSPMD partitions every conv (inserting halo exchanges)
+    and computes BatchNorm moments over the logical global extent —
+    semantics-preserving, so one sharded train step equals the unsharded
+    step to float tolerance (loss AND updated params)."""
+    from cvpytorch_tpu.config import CommonConfiguration
+    from cvpytorch_tpu.models.unet import UNet
+    from cvpytorch_tpu.optim.optimizers import build_optimizer
+    from cvpytorch_tpu.optim.schedules import build_lr_scheduler
+    from cvpytorch_tpu.parallel.mesh import shard_batch
+    from cvpytorch_tpu.train_state import create_train_state, make_train_step
+
+    model = UNet(dictionary=({"bg": 1.0}, {"fg": 1.0}),
+                 base_channels=4, depth=2)
+    rng = np.random.RandomState(0)
+    B, H, W = 2, 32, 16
+    batch = {
+        "image": rng.rand(B, H, W, 3).astype(np.float32),
+        "target": (rng.rand(B, H, W) > 0.5).astype(np.int32),
+    }
+    cfg = CommonConfiguration({
+        "INIT_LR": 0.05, "N_MAX_EPOCHS": 1,
+        "OPTIMIZER": {"TYPE": "SGD", "MOMENTUM": 0.9},
+        "LR_SCHEDULER": {"TYPE": "CosineAnnealingLR"},
+    })
+
+    def one_step(mesh):
+        tx = build_optimizer(cfg, build_lr_scheduler(cfg, 10))
+        state = create_train_state(
+            model, tx, jax.random.PRNGKey(0), batch, use_ema=False)
+        step = make_train_step(amp=False, donate=False)
+        sb = shard_batch(mesh, batch)
+        new_state, metrics = step(state, sb)
+        return float(metrics["loss"]), jax.tree_util.tree_map(
+            np.asarray, new_state.params), jax.tree_util.tree_map(
+            np.asarray, new_state.batch_stats)
+
+    loss_ref, params_ref, bs_ref = one_step(
+        create_mesh(data=1, model=1, spatial=1,
+                    devices=jax.devices()[:1]))
+    # dp×spatial: batch over 2 devices, H over 2 devices each
+    loss_sp, params_sp, bs_sp = one_step(
+        create_mesh(data=2, model=1, spatial=2,
+                    devices=jax.devices()[:4]))
+
+    np.testing.assert_allclose(loss_sp, loss_ref, rtol=2e-5)
+    for (ka, a), (kb, b) in zip(
+            jax.tree_util.tree_leaves_with_path(params_ref),
+            jax.tree_util.tree_leaves_with_path(params_sp)):
+        np.testing.assert_allclose(b, a, atol=2e-5, err_msg=str(ka))
+    for (ka, a), (kb, b) in zip(
+            jax.tree_util.tree_leaves_with_path(bs_ref),
+            jax.tree_util.tree_leaves_with_path(bs_sp)):
+        np.testing.assert_allclose(b, a, atol=2e-5, err_msg=str(ka))
