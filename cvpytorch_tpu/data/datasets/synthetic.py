@@ -135,3 +135,35 @@ class SyntheticDetection(Dataset):
         }
         return {"image": img,
                 "target": None if self.stage == "infer" else target}
+
+
+@DATASETS.register(name="SyntheticInstanceSegmentation")
+class SyntheticInstanceSegmentation(SyntheticDetection):
+    """Detection boxes + axis-aligned rectangular instance masks
+    rasterized at MASK_SIZE over the full image canvas (the same target
+    contract as CocoSegmentation — coco.py:171-199)."""
+
+    MASK_SIZE = 64
+
+    def __init__(self, data_cfg=None, dictionary=None, transform=None,
+                 target_transform=None, stage="train"):
+        super().__init__(data_cfg, dictionary, transform, target_transform,
+                         stage)
+        self.mask_size = int(getattr(data_cfg, "MASK_SIZE", None)
+                             or self.MASK_SIZE)
+
+    def _load_one(self, idx):
+        sample = super()._load_one(idx)
+        t = sample["target"]
+        if t is not None:
+            h, w = self.size
+            s = self.mask_size
+            masks = np.zeros((len(t["boxes"]), s, s), np.float32)
+            for i, (x0, y0, x1, y1) in enumerate(t["boxes"]):
+                mx0 = int(round(x0 * s / w))
+                mx1 = int(round(x1 * s / w))
+                my0 = int(round(y0 * s / h))
+                my1 = int(round(y1 * s / h))
+                masks[i, my0:my1, mx0:mx1] = 1.0
+            t["masks"] = masks
+        return sample

@@ -266,10 +266,9 @@ class COCOEvalNative:
             rc = tp / npig
             pr = tp / np.maximum(tp + fp, np.spacing(1))
             rec_out[t] = rc[-1] if len(rc) else 0.0
-            # monotone precision envelope
-            for k in range(len(pr) - 1, 0, -1):
-                if pr[k] > pr[k - 1]:
-                    pr[k - 1] = pr[k]
+            # monotone precision envelope (pycocotools' backward max-scan,
+            # vectorized: right-to-left running maximum)
+            pr = np.maximum.accumulate(pr[::-1])[::-1]
             inds = np.searchsorted(rc, RECALL_POINTS, side="left")
             q = np.zeros(len(RECALL_POINTS))
             valid = inds < len(pr)
