@@ -145,30 +145,40 @@ def _evaluate_img(ious, gt_ignore_base, gt_crowd, gt_areas, dt_areas,
     # non-ignored gts first (stable)
     gt_order = np.argsort(gt_ig, kind="stable")
     npig = int((~gt_ig).sum())
-    dtm = np.zeros((T, D), bool)
-    dtig = np.zeros((T, D), bool)
-    gtm = np.zeros((T, G), bool)
-    for t, thr in enumerate(IOU_THRS):
-        thr = min(thr, 1 - 1e-10)
-        for d in range(D):
-            best_iou = thr
-            m = -1
-            for g in gt_order:
-                if gtm[t, g] and not gt_crowd[g]:
+    if D and G:
+        from ..native import coco_match
+        native = coco_match(ious, IOU_THRS, gt_ig, gt_crowd, gt_order)
+    else:
+        native = None
+    if native is not None:
+        dtm, dtig = native
+    else:
+        # pure-python fallback (and the differential oracle for the C
+        # matcher, tests/test_native_rle.py)
+        dtm = np.zeros((T, D), bool)
+        dtig = np.zeros((T, D), bool)
+        gtm = np.zeros((T, G), bool)
+        for t, thr in enumerate(IOU_THRS):
+            thr = min(thr, 1 - 1e-10)
+            for d in range(D):
+                best_iou = thr
+                m = -1
+                for g in gt_order:
+                    if gtm[t, g] and not gt_crowd[g]:
+                        continue
+                    if m > -1 and not gt_ig[m] and gt_ig[g]:
+                        break  # remaining gts all ignored; keep current
+                    if ious[d, g] < best_iou:
+                        continue
+                    best_iou = ious[d, g]
+                    m = g
+                if m == -1:
                     continue
-                if m > -1 and not gt_ig[m] and gt_ig[g]:
-                    break  # remaining gts are all ignored; keep current
-                if ious[d, g] < best_iou:
-                    continue
-                best_iou = ious[d, g]
-                m = g
-            if m == -1:
-                continue
-            dtm[t, d] = True
-            dtig[t, d] = gt_ig[m]
-            gtm[t, m] = True
+                dtm[t, d] = True
+                dtig[t, d] = gt_ig[m]
+                gtm[t, m] = True
     out_of_rng = (dt_areas < area_rng[0]) | (dt_areas > area_rng[1])
-    dtig |= (~dtm) & out_of_rng[None, :]
+    dtig = dtig | ((~dtm) & out_of_rng[None, :])
     return dtm, dtig, npig
 
 
@@ -233,11 +243,22 @@ class COCOEvalNative:
                 ious = _box_iou(db, gb, crowd)
                 gt_areas = box_areas(gb)
                 dt_areas = box_areas(db)
-            for a in self.area_keys:
-                dtm, dtig, npig = _evaluate_img(
-                    ious, gt_crowd[g_sel].copy(), crowd, gt_areas, dt_areas,
-                    AREA_RNG[a])
-                self.records[c][a].append((ds, dtm, dtig, npig))
+            from ..native import coco_match_areas
+            ranges = [AREA_RNG[a] for a in self.area_keys]
+            batched = coco_match_areas(
+                ious, IOU_THRS, gt_crowd[g_sel], crowd, gt_areas, dt_areas,
+                ranges)
+            if batched is not None:
+                dtm_a, dtig_a, npig_a = batched
+                for ai, a in enumerate(self.area_keys):
+                    self.records[c][a].append(
+                        (ds, dtm_a[ai], dtig_a[ai], int(npig_a[ai])))
+            else:
+                for a in self.area_keys:
+                    dtm, dtig, npig = _evaluate_img(
+                        ious, gt_crowd[g_sel].copy(), crowd, gt_areas,
+                        dt_areas, AREA_RNG[a])
+                    self.records[c][a].append((ds, dtm, dtig, npig))
 
     # -- accumulate ---------------------------------------------------------
     def _pr_curves(self, c, area, max_det):

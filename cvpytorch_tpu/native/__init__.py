@@ -73,6 +73,15 @@ def _build_and_load():
     lib.rle_iou_matrix.argtypes = [_I64, _I64, _I64, ctypes.c_int64,
                                    _I64, _I64, _I64, ctypes.c_int64,
                                    _U8, _F64]
+    lib.coco_match.restype = None
+    lib.coco_match.argtypes = [_F64, ctypes.c_int64, ctypes.c_int64,
+                               _F64, ctypes.c_int64,
+                               _U8, _U8, _I64, _U8, _U8, _U8]
+    lib.coco_match_areas.restype = None
+    lib.coco_match_areas.argtypes = [
+        _F64, ctypes.c_int64, ctypes.c_int64, _F64, ctypes.c_int64,
+        _U8, _U8, _F64, _F64, _F64, _F64, ctypes.c_int64,
+        _U8, _U8, _I64, _U8, _I64]
     return lib
 
 
@@ -175,3 +184,70 @@ def rle_iou(dt_counts: list, gt_counts: list,
         return out
     from . import rle_py
     return rle_py.iou(dt_counts, gt_counts, crowd)
+
+
+def coco_match(ious, thrs, gt_ig, gt_crowd, gt_order):
+    """Greedy COCO matching (one image/category/areaRng cell) in C.
+
+    ious (D, G) float64, thrs (T,), gt_ig / gt_crowd (G,) bool,
+    gt_order (G,) int64 (non-ignored first) → (dtm, dtig) (T, D) bool.
+    Returns None when the native lib is unavailable (caller falls back to
+    the pure-python loop in evaluator/coco.py — differential-tested
+    against this path in tests/test_native_rle.py)."""
+    if _lib is None:
+        return None
+    ious = np.ascontiguousarray(ious, np.float64)
+    D, G = ious.shape
+    thrs = np.ascontiguousarray(thrs, np.float64)
+    T = thrs.size
+    gt_ig8 = np.ascontiguousarray(gt_ig, np.uint8)
+    crowd8 = np.ascontiguousarray(gt_crowd, np.uint8)
+    order = _as_i64(gt_order)
+    dtm = np.zeros((T, D), np.uint8)
+    dtig = np.zeros((T, D), np.uint8)
+    scratch = np.empty(max(G, 1), np.uint8)
+    _lib.coco_match(ious.ctypes.data_as(_F64), D, G,
+                    thrs.ctypes.data_as(_F64), T,
+                    gt_ig8.ctypes.data_as(_U8), crowd8.ctypes.data_as(_U8),
+                    order.ctypes.data_as(_I64),
+                    dtm.ctypes.data_as(_U8), dtig.ctypes.data_as(_U8),
+                    scratch.ctypes.data_as(_U8))
+    return dtm.astype(bool), dtig.astype(bool)
+
+
+def coco_match_areas(ious, thrs, gt_base_ig, gt_crowd, gt_areas, dt_areas,
+                     area_ranges):
+    """All-areaRng greedy matching in ONE C call per (image, category):
+    per range builds the gt-ignore set (base | area-out-of-range), the
+    stable non-ignored-first order, matches all T thresholds, and applies
+    the unmatched-det out-of-range ignore.
+
+    → (dtm (A,T,D) bool, dtig (A,T,D) bool, npig (A,) int) or None when
+    the native lib is unavailable."""
+    if _lib is None:
+        return None
+    ious = np.ascontiguousarray(ious, np.float64)
+    D, G = ious.shape
+    thrs = np.ascontiguousarray(thrs, np.float64)
+    T = thrs.size
+    lo = np.ascontiguousarray([r[0] for r in area_ranges], np.float64)
+    hi = np.ascontiguousarray([r[1] for r in area_ranges], np.float64)
+    A = lo.size
+    base8 = np.ascontiguousarray(gt_base_ig, np.uint8)
+    crowd8 = np.ascontiguousarray(gt_crowd, np.uint8)
+    ga = np.ascontiguousarray(gt_areas, np.float64)
+    da = np.ascontiguousarray(dt_areas, np.float64)
+    dtm = np.zeros((A, T, D), np.uint8)
+    dtig = np.zeros((A, T, D), np.uint8)
+    npig = np.zeros(A, np.int64)
+    scratch = np.empty(max(2 * G, 1), np.uint8)
+    order = np.empty(max(G, 1), np.int64)
+    _lib.coco_match_areas(
+        ious.ctypes.data_as(_F64), D, G, thrs.ctypes.data_as(_F64), T,
+        base8.ctypes.data_as(_U8), crowd8.ctypes.data_as(_U8),
+        ga.ctypes.data_as(_F64), da.ctypes.data_as(_F64),
+        lo.ctypes.data_as(_F64), hi.ctypes.data_as(_F64), A,
+        dtm.ctypes.data_as(_U8), dtig.ctypes.data_as(_U8),
+        npig.ctypes.data_as(_I64), scratch.ctypes.data_as(_U8),
+        order.ctypes.data_as(_I64))
+    return dtm.astype(bool), dtig.astype(bool), npig

@@ -152,3 +152,100 @@ void rle_iou_matrix(const int64_t *dc, const int64_t *doff,
         }
     }
 }
+
+/* Greedy COCO detection<->gt matching for one (image, category, areaRng)
+ * cell — the pycocotools evaluateImg inner loops (cocoeval.py semantics,
+ * reference src/evaluator/eval_coco.py feeds the same C path via
+ * pycocotools._mask).  Dets arrive in descending score order; gt_order
+ * lists gt indices non-ignored-first (stable).  For each IoU threshold
+ * independently: each det takes the best-IoU gt above the threshold,
+ * already-matched non-crowd gts are skipped, crowd gts may match many
+ * dets, and once a non-ignored best exists the scan stops at the first
+ * ignored gt (they sort last).  Outputs dtm / dtig as (T, D) uint8. */
+void coco_match(const double *ious, int64_t D, int64_t G,
+                const double *thrs, int64_t T,
+                const uint8_t *gt_ig, const uint8_t *gt_crowd,
+                const int64_t *gt_order,
+                uint8_t *dtm, uint8_t *dtig, uint8_t *gtm_scratch) {
+    for (int64_t t = 0; t < T; t++) {
+        double thr = thrs[t];
+        if (thr > 1.0 - 1e-10) thr = 1.0 - 1e-10;
+        uint8_t *gtm = gtm_scratch;
+        for (int64_t g = 0; g < G; g++) gtm[g] = 0;
+        for (int64_t d = 0; d < D; d++) {
+            double best = thr;
+            int64_t m = -1;
+            for (int64_t gi = 0; gi < G; gi++) {
+                int64_t g = gt_order[gi];
+                if (gtm[g] && !gt_crowd[g]) continue;
+                if (m > -1 && !gt_ig[m] && gt_ig[g]) break;
+                double v = ious[d * G + g];
+                if (v < best) continue;
+                best = v;
+                m = g;
+            }
+            if (m == -1) continue;
+            dtm[t * D + d] = 1;
+            dtig[t * D + d] = gt_ig[m];
+            gtm[m] = 1;
+        }
+    }
+}
+
+/* All-areaRng variant: runs coco_match for A area ranges in one call,
+ * building each range's gt-ignore set (base-ignore OR gt area outside
+ * [lo, hi]), the stable non-ignored-first order, and the unmatched-det
+ * out-of-range dt-ignore — one C roundtrip per (image, category) instead
+ * of 4 numpy-heavy python calls (pycocotools evaluateImg over p.areaRng).
+ * dtm/dtig are (A, T, D) uint8, npig_out is (A,) int64. */
+void coco_match_areas(const double *ious, int64_t D, int64_t G,
+                      const double *thrs, int64_t T,
+                      const uint8_t *gt_base_ig, const uint8_t *gt_crowd,
+                      const double *gt_areas, const double *dt_areas,
+                      const double *area_lo, const double *area_hi,
+                      int64_t A,
+                      uint8_t *dtm, uint8_t *dtig, int64_t *npig_out,
+                      uint8_t *scratch /* >= 2*G */, int64_t *order /* G */) {
+    uint8_t *gt_ig = scratch;            /* G */
+    uint8_t *gtm = scratch + G;          /* G */
+    for (int64_t a = 0; a < A; a++) {
+        double lo = area_lo[a], hi = area_hi[a];
+        int64_t npig = 0, k = 0;
+        for (int64_t g = 0; g < G; g++) {
+            gt_ig[g] = gt_base_ig[g] || gt_areas[g] < lo || gt_areas[g] > hi;
+            if (!gt_ig[g]) { order[k++] = g; npig++; }
+        }
+        for (int64_t g = 0; g < G; g++) if (gt_ig[g]) order[k++] = g;
+        npig_out[a] = npig;
+        uint8_t *dtm_a = dtm + a * T * D;
+        uint8_t *dtig_a = dtig + a * T * D;
+        for (int64_t t = 0; t < T; t++) {
+            double thr = thrs[t];
+            if (thr > 1.0 - 1e-10) thr = 1.0 - 1e-10;
+            for (int64_t g = 0; g < G; g++) gtm[g] = 0;
+            for (int64_t d = 0; d < D; d++) {
+                double best = thr;
+                int64_t m = -1;
+                for (int64_t gi = 0; gi < G; gi++) {
+                    int64_t g = order[gi];
+                    if (gtm[g] && !gt_crowd[g]) continue;
+                    if (m > -1 && !gt_ig[m] && gt_ig[g]) break;
+                    double v = ious[d * G + g];
+                    if (v < best) continue;
+                    best = v;
+                    m = g;
+                }
+                if (m == -1) continue;
+                dtm_a[t * D + d] = 1;
+                dtig_a[t * D + d] = gt_ig[m];
+                gtm[m] = 1;
+            }
+            /* unmatched dets outside the area range are ignored */
+            for (int64_t d = 0; d < D; d++) {
+                if (!dtm_a[t * D + d] &&
+                    (dt_areas[d] < lo || dt_areas[d] > hi))
+                    dtig_a[t * D + d] = 1;
+            }
+        }
+    }
+}

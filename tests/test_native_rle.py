@@ -129,3 +129,55 @@ def test_evaluator_mask_iou_rle_path():
     denom = np.where(crowd[None], d.sum(1)[:, None], union)
     np.testing.assert_allclose(got, inter / np.maximum(denom, 1e-9),
                                atol=1e-9)
+
+
+def test_coco_match_c_vs_python():
+    """The C greedy matcher (rle.c coco_match) vs the pure-python loop in
+    evaluator/coco.py on randomized cells incl. crowd + ignored gts."""
+    import numpy as np
+
+    from cvpytorch_tpu.native import HAVE_NATIVE, coco_match
+    from cvpytorch_tpu.evaluator.coco import IOU_THRS
+
+    if not HAVE_NATIVE:
+        import pytest
+        pytest.skip("no native lib")
+
+    rs = np.random.RandomState(42)
+    for trial in range(100):
+        D = rs.randint(0, 12)
+        G = rs.randint(0, 9)
+        ious = rs.rand(D, G)
+        gt_crowd = rs.rand(G) < 0.2
+        gt_ig = (rs.rand(G) < 0.3) | gt_crowd * (rs.rand(G) < 0.5)
+        gt_order = np.argsort(gt_ig, kind="stable")
+        if D == 0 or G == 0:
+            continue
+        dtm_c, dtig_c = coco_match(ious, IOU_THRS, gt_ig, gt_crowd,
+                                   gt_order)
+
+        T = len(IOU_THRS)
+        dtm = np.zeros((T, D), bool)
+        dtig = np.zeros((T, D), bool)
+        gtm = np.zeros((T, G), bool)
+        for t, thr in enumerate(IOU_THRS):
+            thr = min(thr, 1 - 1e-10)
+            for d in range(D):
+                best_iou = thr
+                m = -1
+                for g in gt_order:
+                    if gtm[t, g] and not gt_crowd[g]:
+                        continue
+                    if m > -1 and not gt_ig[m] and gt_ig[g]:
+                        break
+                    if ious[d, g] < best_iou:
+                        continue
+                    best_iou = ious[d, g]
+                    m = g
+                if m == -1:
+                    continue
+                dtm[t, d] = True
+                dtig[t, d] = gt_ig[m]
+                gtm[t, m] = True
+        assert (dtm_c == dtm).all(), trial
+        assert (dtig_c == dtig).all(), trial
