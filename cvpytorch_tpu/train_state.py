@@ -107,6 +107,7 @@ def make_train_step(
     ema_decay: float = 0.0,
     donate: bool = True,
     preprocess=None,
+    donate_batch: bool = False,
 ):
     """Build the jitted train step.
 
@@ -177,7 +178,12 @@ def make_train_step(
         )
         return new_state, metrics
 
-    return jax.jit(train_step, donate_argnums=(0,) if donate else ())
+    # donate_batch frees the batch buffers for reuse inside the step —
+    # safe when every step feeds a FRESH host batch (the Trainer loop
+    # does); attacks the loss-layout copies surviving state donation
+    # (PERF.md r3 trace: ~6 ms of copies)
+    dn = ((0, 1) if donate_batch else (0,)) if donate else ()
+    return jax.jit(train_step, donate_argnums=dn)
 
 
 def make_eval_step(use_ema: bool = False):
