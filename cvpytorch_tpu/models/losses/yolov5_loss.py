@@ -75,9 +75,10 @@ def _build_level_targets(boxes, valid, anchors, nx, ny, anchor_t, max_anchors):
         return jnp.broadcast_to(x[:, :, None], (B, M, A, 5, *extra))
 
     P = M * A * 5
-    flat_cell = ((gj.astype(jnp.int32) * nx + gi.astype(jnp.int32)))  # (B,M,5)
-    flat_cell = bx(flat_cell) * A + jnp.arange(A)[None, None, :, None]
+    cell = (gj.astype(jnp.int32) * nx + gi.astype(jnp.int32))  # (B,M,5)
+    flat_cell = bx(cell) * A + jnp.arange(A)[None, None, :, None]
     out = dict(
+        cell=cell.reshape(B, M * 5),
         flat_cell=flat_cell.reshape(B, P),
         txy=bx(txy, (2,)).reshape(B, P, 2),
         twh=jnp.broadcast_to(gwh[:, :, None, None, :], (B, M, A, 5, 2)).reshape(B, P, 2),
@@ -111,19 +112,29 @@ class YOLOv5Loss:
         boxes, labels = targets["boxes"], targets["labels"]
         valid = targets["valid"]
         B = boxes.shape[0]
+        M = boxes.shape[1]
         lbox = lobj = lcls = 0.0
         for i, pi in enumerate(raw_outs):
             _, ny, nx, A, no = pi.shape
             t = _build_level_targets(boxes, valid, self.anchors[i], nx, ny,
                                      self.anchor_t, A)
-            # one full-channel candidate gather: measured FASTER on the
-            # v5e than slicing box/obj/cls channels first (bisected at
-            # bs128/640: 155 ms/step vs 181 — the per-channel slices
-            # materialize extra full-size relayout copies and break the
-            # gather fusion; keep the single gather)
-            pi_flat = pi.reshape(B, ny * nx * A, no)
-            ps = jnp.take_along_axis(
-                pi_flat, t["flat_cell"][..., None], axis=1)  # (B,P,no)
+            # PACKED consumption (r4 trace fix): the detect head's
+            # (B,ny,nx,A·no) → 5D reshape plus a (B,S·A,no)-row gather here
+            # forced XLA to relayout the whole detect map to no-minor lanes
+            # (255→85) in BOTH fwd and bwd — ~9 ms/step at bs128/640 on P3
+            # alone (trace: copy.562/564/575/578 + reshape.558/576).
+            # Reshaping back to A·no packs cancels the head's reshape, so
+            # the conv's 255-lane layout stays live: candidates are one
+            # gather of M·5 full 255-ch cell rows (anchor unpack happens on
+            # that tiny tensor), and objectness is a strided lane slice.
+            # (The r3 bisect note still holds: slicing box/obj/cls channels
+            # of the no-minor map BEFORE the gather was 155→181 ms.)
+            S = ny * nx
+            pk = pi.reshape(B, S, A * no)
+            rows = jnp.take_along_axis(
+                pk, t["cell"][..., None], axis=1)  # (B, M·5, A·no)
+            ps = rows.reshape(B, M, 5, A, no).transpose(0, 1, 3, 2, 4)
+            ps = ps.reshape(B, M * A * 5, no)  # candidate order (m, a, o)
             w = t["w"]
             n_pos = jnp.maximum(w.sum(), 1.0)
 
@@ -135,19 +146,21 @@ class YOLOv5Loss:
             iou = bbox_iou(pbox, tbox, fmt="cxcywh", iou_type="ciou")  # (B,P)
             lbox = lbox + ((1.0 - iou) * w).sum() / n_pos
 
-            # objectness: scatter-max detached IoU into the cell grid
+            # objectness: scatter-max detached IoU into the cell grid;
+            # logits come from a strided lane slice of the packed map
+            # (channel a·no+4), flat index s·A+a == flat_cell
+            obj_logits = pk[..., 4::no].reshape(B, S * A)
             score = jax.lax.stop_gradient(jnp.clip(iou, 0.0)) * w
             tobj = jax.vmap(
                 lambda idx, s: jnp.zeros(ny * nx * A).at[idx].max(s)
             )(t["flat_cell"], score)
-            obj_bce = optax.sigmoid_binary_cross_entropy(pi_flat[..., 4], tobj)
+            obj_bce = optax.sigmoid_binary_cross_entropy(obj_logits, tobj)
             lobj = lobj + obj_bce.mean() * self.balance[i]
 
             # classification
             if self.num_classes > 1:
                 tcls = jnp.where(valid, labels, 0)  # (B,M)
                 # expand labels to candidate layout (B,M,A,5) → (B,P)
-                M = boxes.shape[1]
                 cls_flat = jnp.broadcast_to(
                     tcls[:, :, None, None], (B, M, A, 5)).reshape(B, -1)
                 onehot = jax.nn.one_hot(cls_flat, self.num_classes) * (self.cp - self.cn) + self.cn
