@@ -179,6 +179,12 @@ class MaskRCNN(nn.Module):
         k = min(self.pre_nms_topk, scores.shape[1])
         top_s, top_i = jax.lax.top_k(scores, k)
         top_b = jnp.take_along_axis(boxes, top_i[..., None], axis=1)
+        # proposals are CONSTANTS for the ROI heads — torchvision detaches
+        # (rpn.py RegionProposalNetwork.forward: proposals.detach()); also
+        # required here: the Pallas NMS kernel has no JVP rule, and the
+        # train-step grad would otherwise trace through it on TPU
+        top_b = jax.lax.stop_gradient(top_b)
+        top_s = jax.lax.stop_gradient(top_s)
         dets = batched_nms(top_b, top_s, jnp.zeros_like(top_i),
                            max_det=self.num_proposals,
                            iou_threshold=self.rpn_nms_thresh,

@@ -66,16 +66,55 @@ def roi_align(features, boxes, output_size: int = 7,
 
 
 def batched_roi_align(features, boxes, box_batch_idx, output_size: int = 7,
-                      spatial_scale: float = 1.0, sampling_ratio: int = 2):
+                      spatial_scale: float = 1.0, sampling_ratio: int = 2,
+                      aligned: bool = True):
     """features (B, H, W, C); boxes (N, 4); box_batch_idx (N,) image index.
-    Gathers each ROI's source image then aligns."""
-    per_box_feats = features[box_batch_idx]  # (N, H, W, C)
 
-    def one(img, box):
-        return roi_align(img, box[None], output_size, spatial_scale,
-                         sampling_ratio)[0]
+    Gathers ONLY the 4 bilinear tap points per sample, with the batch
+    index folded into a flat (B·H·W) row index — never a per-ROI copy of
+    the feature map.  (The earlier ``features[box_batch_idx]`` form
+    materialized an (N, H, W, C) intermediate: 44 GB at 800²/bs8/272-roi
+    Mask R-CNN — caught by the r4 milestone bench.)  Numerics identical
+    to :func:`roi_align` per ROI (same taps, masks and bin averaging)."""
+    B, H, W, C = features.shape
+    N = boxes.shape[0]
+    off = 0.5 if aligned else 0.0
+    b = boxes * spatial_scale
+    x1, y1 = b[:, 0] - off, b[:, 1] - off
+    bw = jnp.maximum(b[:, 2] - off - x1, 1e-6)
+    bh = jnp.maximum(b[:, 3] - off - y1, 1e-6)
+    n = sampling_ratio
+    g = (jnp.arange(output_size * n) + 0.5) / n  # bin units
+    ys = y1[:, None] + bh[:, None] * g[None, :] / output_size  # (N, S)
+    xs = x1[:, None] + bw[:, None] * g[None, :] / output_size
+    y0 = jnp.floor(ys)
+    x0 = jnp.floor(xs)
+    fy = ys - y0
+    fx = xs - x0
 
-    return jax.vmap(one)(per_box_feats, boxes)
+    flat = features.reshape(B * H * W, C)
+    base = box_batch_idx.astype(jnp.int32) * (H * W)  # (N,)
+
+    def tap(yy, xx):  # yy, xx (N, S)
+        inb_y = (yy >= 0) & (yy < H)
+        inb_x = (xx >= 0) & (xx < W)
+        yi = jnp.clip(yy, 0, H - 1).astype(jnp.int32)
+        xi = jnp.clip(xx, 0, W - 1).astype(jnp.int32)
+        fidx = base[:, None, None] + yi[:, :, None] * W + xi[:, None, :]
+        v = flat[fidx]  # (N, S, S, C)
+        m = (inb_y[:, :, None] & inb_x[:, None, :])[..., None]
+        return jnp.where(m, v, 0.0)
+
+    v00 = tap(y0, x0)
+    v01 = tap(y0, x0 + 1)
+    v10 = tap(y0 + 1, x0)
+    v11 = tap(y0 + 1, x0 + 1)
+    wy = fy[:, :, None, None]
+    wx = fx[:, None, :, None]
+    sampled = (v00 * (1 - wy) * (1 - wx) + v01 * (1 - wy) * wx +
+               v10 * wy * (1 - wx) + v11 * wy * wx)  # (N, S, S, C)
+    S0 = output_size
+    return sampled.reshape(N, S0, n, S0, n, C).mean((2, 4))
 
 
 def multiscale_roi_align(fpn_feats, strides, boxes, box_batch_idx,

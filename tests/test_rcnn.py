@@ -63,7 +63,8 @@ def test_maskrcnn_contract(rng):
         model_cfg=CommonConfiguration(
             {"BACKBONE": {"name": "ResNet", "subtype": "resnet18",
                           "out_stages": [1, 2, 3, 4]}}),
-        num_proposals=32, pre_nms_topk=128, with_mask=True)
+        num_proposals=32, pre_nms_topk=128, with_mask=True,
+        mask_size=28)  # must match the raster below (trace-time guard)
     imgs = jax.random.normal(rng, (1, 64, 64, 3))
     M, mh = 4, 28
     masks = np.zeros((1, M, mh, mh), np.float32)
@@ -118,7 +119,8 @@ def test_maskrcnn_val_emits_pasted_masks(rng):
         model_cfg=CommonConfiguration(
             {"BACKBONE": {"name": "ResNet", "subtype": "resnet18",
                           "out_stages": [1, 2, 3, 4]}}),
-        num_proposals=32, pre_nms_topk=128, with_mask=True)
+        num_proposals=32, pre_nms_topk=128, with_mask=True,
+        mask_size=28)  # must match the raster below (trace-time guard)
     imgs = jax.random.normal(rng, (1, 64, 64, 3))
     masks = np.zeros((1, 2, 28, 28), np.float32)
     masks[0, 0, 5:20, 5:20] = 1.0
@@ -132,7 +134,9 @@ def test_maskrcnn_val_emits_pasted_masks(rng):
     _, preds = model.apply(v, imgs, tgts, mode="val")
     assert "masks" in preds
     B, K = preds["boxes"].shape[:2]
-    assert preds["masks"].shape == (B, K, 112, 112)
+    # paste raster tracks mask_size (must equal the dataset gt raster
+    # the evaluator compares against)
+    assert preds["masks"].shape == (B, K, 28, 28)
     assert set(np.unique(np.asarray(preds["masks"]))) <= {0.0, 1.0}
 
 
@@ -157,3 +161,25 @@ def test_coco_eval_segm_perfect_predictions():
     out = ev.evaluate()
     assert out["bbox_mAP"] == pytest.approx(1.0)
     assert out["segm_mAP"] == pytest.approx(1.0)
+
+
+def test_batched_roi_align_matches_per_image():
+    """Tap-gather batched form ≡ per-image roi_align (the r4 rewrite that
+    removed the (N,H,W,C) per-ROI map materialization — 44 GB at
+    800²/bs8)."""
+    rs = np.random.RandomState(3)
+    feats = jnp.asarray(rs.randn(3, 24, 32, 8).astype(np.float32))
+    boxes = jnp.asarray(
+        np.stack([rs.uniform(0, 20, 16), rs.uniform(0, 16, 16),
+                  rs.uniform(24, 60, 16), rs.uniform(20, 44, 16)], -1)
+        .astype(np.float32))
+    idx = jnp.asarray(rs.randint(0, 3, 16).astype(np.int32))
+    from cvpytorch_tpu.ops.roi_align import batched_roi_align
+
+    got = batched_roi_align(feats, boxes, idx, output_size=7,
+                            spatial_scale=0.5)
+    want = jax.vmap(
+        lambda img, box: roi_align(img, box[None], 7, 0.5)[0]
+    )(feats[idx], boxes)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
