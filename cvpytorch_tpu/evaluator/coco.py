@@ -230,8 +230,13 @@ class COCOEvalNative:
                 gm = np.asarray(gt_masks)[g_sel]
                 dm = np.asarray(det_masks)[d_sel][order]
                 ious = _mask_iou(dm, gm, crowd)
-                gt_areas = gm.reshape(len(gm), -1).astype(bool).sum(-1).astype(float)
-                dt_areas = dm.reshape(len(dm), -1).astype(bool).sum(-1).astype(float)
+                # axis-sum instead of reshape(n, -1): numpy can't infer -1
+                # when n == 0 (zero dets/gts in this (img, cat) cell —
+                # surfaced by the on-chip Mask R-CNN overfit run)
+                _area = lambda m: m.astype(bool).sum(
+                    axis=tuple(range(1, m.ndim))).astype(float)
+                gt_areas = _area(gm)
+                dt_areas = _area(dm)
             elif self.iou_type == "keypoints":
                 gk = np.asarray(gt_kpts)[g_sel]
                 dk = np.asarray(det_kpts)[d_sel][order]

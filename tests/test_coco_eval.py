@@ -219,3 +219,31 @@ def test_oks_keypoint_evaluation():
     assert out["keypoints_mAP"] == 1.0
     assert out["bbox_mAP"] == 1.0
     assert "keypoints_Recall_20" in out and "keypoints_AP_medium" in out
+
+
+def test_segm_eval_zero_det_cell():
+    """(img, cat) cells with gts but ZERO detections (and the reverse)
+    must not crash the segm path — numpy can't reshape(0, -1)
+    (surfaced by the on-chip Mask R-CNN overfit run)."""
+    import numpy as np
+
+    from cvpytorch_tpu.evaluator.coco import CocoEvaluator
+
+    ev = CocoEvaluator(num_classes=2, iou_types=("bbox", "segm"))
+    gt_boxes = np.array([[[10.0, 10.0, 50.0, 60.0]]])
+    gt_masks = np.zeros((1, 1, 64, 64), np.float32)
+    gt_masks[0, 0, 10:60, 10:50] = 1.0
+    targets = {"boxes": gt_boxes, "labels": np.array([[0]]),
+               "valid": np.array([[True]]),
+               "pads": np.zeros((1, 2)), "scales": np.ones((1, 2)),
+               "masks": gt_masks}
+    # prediction for the OTHER class only → class 0 has gt but no dets,
+    # class 1 has dets but no gts
+    pm = np.zeros((1, 1, 64, 64), np.float32)
+    pm[0, 0, 20:40, 20:40] = 1.0
+    preds = {"boxes": np.array([[[20.0, 20.0, 40.0, 40.0]]]),
+             "scores": np.array([[0.9]]), "labels": np.array([[1]]),
+             "valid": np.array([[True]]), "masks": pm}
+    ev.update(targets, preds)
+    out = ev.evaluate()
+    assert out["segm_mAP"] == 0.0 and out["bbox_mAP"] == 0.0
