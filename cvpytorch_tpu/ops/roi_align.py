@@ -41,11 +41,14 @@ def roi_align(features, boxes, output_size: int = 7,
         fx = xs - x0
 
         def tap(yy, xx):
-            inb = (yy >= 0) & (yy < H) & (xx >= 0) & (xx < W)
+            # per-axis validity: grid index i's y-bound and index j's x-bound
+            # are independent (a ROI can exit the map on one axis only)
+            inb_y = (yy >= 0) & (yy < H)
+            inb_x = (xx >= 0) & (xx < W)
             yi = jnp.clip(yy, 0, H - 1).astype(jnp.int32)
             xi = jnp.clip(xx, 0, W - 1).astype(jnp.int32)
             v = img[yi[:, None], xi[None, :]]  # (S, S, C)
-            m = (inb[:, None] & inb[None, :])[..., None]
+            m = (inb_y[:, None] & inb_x[None, :])[..., None]
             return jnp.where(m, v, 0.0)
 
         v00 = tap(y0, x0)

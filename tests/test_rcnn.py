@@ -173,7 +173,16 @@ def test_batched_roi_align_matches_per_image():
         np.stack([rs.uniform(0, 20, 16), rs.uniform(0, 16, 16),
                   rs.uniform(24, 60, 16), rs.uniform(20, 44, 16)], -1)
         .astype(np.float32))
-    idx = jnp.asarray(rs.randint(0, 3, 16).astype(np.int32))
+    # boxes that exit the (48, 64)-px image on exactly ONE axis each — the
+    # per-axis tap mask (inb_y[i] & inb_x[j]) must not conflate validity
+    # across axes (ADVICE r4 #1)
+    oob = np.array([[-12.0, 4.0, 10.0, 20.0],    # exits left only
+                    [30.0, -9.0, 50.0, 14.0],    # exits top only
+                    [40.0, 8.0, 80.0, 30.0],     # exits right only
+                    [10.0, 30.0, 34.0, 70.0]],   # exits bottom only
+                   dtype=np.float32)
+    boxes = jnp.concatenate([boxes, jnp.asarray(oob)], 0)
+    idx = jnp.asarray(rs.randint(0, 3, 20).astype(np.int32))
     from cvpytorch_tpu.ops.roi_align import batched_roi_align
 
     got = batched_roi_align(feats, boxes, idx, output_size=7,
