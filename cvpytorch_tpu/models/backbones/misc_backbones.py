@@ -10,7 +10,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ...registry import BACKBONES
-from ..bricks import ConvBNAct
+from ..bricks import BatchNorm, ConvBNAct
 
 
 class Fire(nn.Module):
@@ -75,11 +75,11 @@ class DenseLayer(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        h = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+        h = BatchNorm(use_running_average=not train, momentum=0.9,
                          name="bn1")(x)
         h = nn.relu(h)
         h = nn.Conv(4 * self.growth, (1, 1), use_bias=False, name="conv1")(h)
-        h = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+        h = BatchNorm(use_running_average=not train, momentum=0.9,
                          name="bn2")(h)
         h = nn.relu(h)
         h = nn.Conv(self.growth, (3, 3), padding=1, use_bias=False,
@@ -115,7 +115,7 @@ class DenseNet(nn.Module):
             for j in range(n):
                 x = DenseLayer(growth, name=f"dense{si}_{j}")(x, train)
             if si < len(reps):  # transition
-                x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                x = BatchNorm(use_running_average=not train, momentum=0.9,
                                  name=f"trans{si}_bn")(x)
                 x = nn.relu(x)
                 x = nn.Conv(x.shape[-1] // 2, (1, 1), use_bias=False,
@@ -124,7 +124,7 @@ class DenseNet(nn.Module):
             if si in self.out_stages and not self.classifier:
                 feats.append(x)
         if self.classifier:
-            x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+            x = BatchNorm(use_running_average=not train, momentum=0.9,
                              name="final_bn")(x)
             x = nn.relu(x)
             x = jnp.mean(x, axis=(1, 2))

@@ -11,6 +11,8 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
+from ..bricks import BatchNorm
+
 from ...registry import BACKBONES
 
 # layer indices (stage0=0, then blocks counted sequentially) that get
@@ -56,14 +58,14 @@ class RepVGGBlock(nn.Module):
         y3 = nn.Conv(self.out_channels, (3, 3), strides=self.stride,
                      padding=1, use_bias=False,
                      feature_group_count=self.groups, name="conv3")(x)
-        y3 = nn.BatchNorm(**bn, name="bn3")(y3)
+        y3 = BatchNorm(**bn, name="bn3")(y3)
         y1 = nn.Conv(self.out_channels, (1, 1), strides=self.stride,
                      use_bias=False, feature_group_count=self.groups,
                      name="conv1")(x)
-        y1 = nn.BatchNorm(**bn, name="bn1")(y1)
+        y1 = BatchNorm(**bn, name="bn1")(y1)
         out = y3 + y1
         if self.stride == 1 and in_ch == self.out_channels:
-            yid = nn.BatchNorm(**bn, name="bnid")(x)
+            yid = BatchNorm(**bn, name="bnid")(x)
             out = out + yid
         return nn.relu(out)
 

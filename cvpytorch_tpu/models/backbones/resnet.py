@@ -13,6 +13,8 @@ from typing import Sequence
 import jax.numpy as jnp
 from flax import linen as nn
 
+from ..bricks import BatchNorm
+
 from ...registry import BACKBONES
 
 
@@ -30,7 +32,7 @@ _SPECS = {
 
 
 def _bn(train, name, momentum=0.9, eps=1e-5):
-    return nn.BatchNorm(use_running_average=not train, momentum=momentum,
+    return BatchNorm(use_running_average=not train, momentum=momentum,
                         epsilon=eps, name=name)
 
 

@@ -16,7 +16,7 @@ import numpy as np
 from flax import linen as nn
 
 from ...registry import BACKBONES, HEADS
-from ..bricks import ConvBNAct, get_activation
+from ..bricks import BatchNorm, ConvBNAct, get_activation
 from ..heads.seg_heads import resize_bilinear
 
 _BN = dict(bn_momentum=0.9, bn_eps=1e-5)
@@ -56,7 +56,7 @@ class Conv2dBN(nn.Module):
         x = nn.Conv(self.out, (self.ks, self.ks), strides=self.stride,
                     padding=self.pad, feature_group_count=self.groups,
                     use_bias=False, name="c")(x)
-        return nn.BatchNorm(use_running_average=not train, momentum=0.9,
+        return BatchNorm(use_running_average=not train, momentum=0.9,
                             epsilon=1e-5, name="bn")(x)
 
 
@@ -272,7 +272,7 @@ class _DBlock(nn.Module):
                 use_bias=False,
                 name=f"conv2_{i}")(h[..., i * temp:(i + 1) * temp]))
         h = jnp.concatenate(branches, -1)
-        h = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+        h = BatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5, name="bn2")(h)
         h = nn.relu(h)
         # SE: mid = in_channels // 4 (reference SEModule(out, in) quirk)

@@ -14,7 +14,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ...registry import BACKBONES
-from ..bricks import DropPath
+from ..bricks import BatchNorm, DropPath
 
 def _gelu(x):
     """Exact (erf) GELU — torch nn.GELU default; jax nn.gelu defaults to
@@ -165,7 +165,7 @@ class MSCANBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        n1 = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+        n1 = BatchNorm(use_running_average=not train, momentum=0.9,
                           name="bn1")(x)
         h = nn.Conv(self.dim, (1, 1), name="proj1")(n1)
         h = _gelu(h)
@@ -176,7 +176,7 @@ class MSCANBlock(nn.Module):
         h = h + n1
         ls1 = self.param("ls1", nn.initializers.constant(1e-2), (self.dim,))
         x = x + DropPath(self.drop_rate, name="dp1")(h * ls1, train)
-        h = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+        h = BatchNorm(use_running_average=not train, momentum=0.9,
                          name="bn2")(x)
         hdim = self.dim * self.mlp_ratio
         h = nn.Conv(hdim, (1, 1), name="ffn1")(h)
@@ -207,17 +207,17 @@ class MSCAN(nn.Module):
             if si == 0:
                 x = nn.Conv(dims[0] // 2, (3, 3), strides=2, padding=1,
                             name="stem1")(x)
-                x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                x = BatchNorm(use_running_average=not train, momentum=0.9,
                                  name="stem_bn1")(x)
                 x = _gelu(x)
                 x = nn.Conv(dims[0], (3, 3), strides=2, padding=1,
                             name="stem2")(x)
-                x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                x = BatchNorm(use_running_average=not train, momentum=0.9,
                                  name="stem_bn2")(x)
             else:
                 x = nn.Conv(dims[si], (3, 3), strides=2, padding=1,
                             name=f"down{si}")(x)
-                x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                x = BatchNorm(use_running_average=not train, momentum=0.9,
                                  name=f"down_bn{si}")(x)
             for j in range(depths[si]):
                 x = MSCANBlock(
@@ -327,7 +327,7 @@ class _IncepBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        bn = lambda nm: nn.BatchNorm(  # noqa: E731
+        bn = lambda nm: BatchNorm(  # noqa: E731
             use_running_average=not train, momentum=0.9, epsilon=1e-5,
             name=nm)
         y = _IncepAttention(self.dim, self.heads, self.down_ratio,
@@ -360,13 +360,13 @@ class IncepTransformer(nn.Module):
             k, s = (7, 4) if i == 0 else (3, 2)
             x = nn.Conv(ch, (k, k), strides=s, padding=k // 2,
                         name=f"patch_embed{i + 1}")(x)
-            x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+            x = BatchNorm(use_running_average=not train, momentum=0.9,
                              epsilon=1e-5, name=f"embed_norm{i + 1}")(x)
             for j in range(depth):
                 x = _IncepBlock(ch, _IPT_HEADS[i], _IPT_DOWN[i],
                                 _IPT_MLP[i], dpr[cur + j],
                                 name=f"block{i + 1}_{j}")(x, train)
-            x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+            x = BatchNorm(use_running_average=not train, momentum=0.9,
                              epsilon=1e-5, name=f"norm{i + 1}")(x)
             cur += depth
             if i + 1 in self.out_stages:

@@ -15,8 +15,77 @@ from __future__ import annotations
 import math
 from typing import Any, Callable, Optional, Sequence
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
+from flax.linen import module as _flax_module
+from flax.linen import normalization as _fnorm
+
+
+class BatchNorm(nn.BatchNorm):
+    """flax BatchNorm with TORCH running-variance semantics.
+
+    torch.nn.BatchNorm2d normalizes the train-mode output with the BIASED
+    batch variance but stores the UNBIASED (Bessel n/(n-1)) variance into
+    ``running_var``; flax linen stores the biased one.  At production batch
+    sizes the factor is ~1+1e-4, but on small spatial maps (stride-32 heads,
+    tiny eval batches) it is a real eval-numerics divergence vs the
+    reference — measured by tests/test_differential_training.py.  This
+    subclass applies the one-line correction; everything else (init trees,
+    param/batch_stats layout, momentum convention) is unchanged, so it is a
+    drop-in for every ``nn.BatchNorm`` site in the package.
+
+    __call__ adapted from flax.linen.normalization.BatchNorm (flax 0.12,
+    Apache-2.0) — the fork is the ``bessel`` factor on the ra_var update.
+    """
+
+    @nn.compact
+    def __call__(self, x, use_running_average: bool | None = None, *,
+                 mask=None):
+        use_running_average = _flax_module.merge_param(
+            "use_running_average", self.use_running_average,
+            use_running_average)
+        feature_axes = _fnorm._canonicalize_axes(x.ndim, self.axis)
+        reduction_axes = tuple(
+            i for i in range(x.ndim) if i not in feature_axes)
+        feature_shape = [x.shape[ax] for ax in feature_axes]
+
+        sdtype = (jnp.float32 if self.force_float32_reductions
+                  else self.param_dtype)
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda s: jnp.zeros(s, sdtype), feature_shape)
+        ra_var = self.variable("batch_stats", "var",
+                               lambda s: jnp.ones(s, sdtype), feature_shape)
+
+        if use_running_average:
+            mean = (ra_mean.value if self.force_float32_reductions
+                    else jnp.asarray(ra_mean.value, self.param_dtype))
+            var = (ra_var.value if self.force_float32_reductions
+                   else jnp.asarray(ra_var.value, self.param_dtype))
+        else:
+            mean, var = _fnorm._compute_stats(
+                x, reduction_axes, dtype=self.dtype,
+                axis_name=(self.axis_name
+                           if not self.is_initializing() else None),
+                axis_index_groups=self.axis_index_groups,
+                use_fast_variance=self.use_fast_variance, mask=mask,
+                force_float32_reductions=self.force_float32_reductions)
+            if not self.is_initializing():
+                n = 1
+                for ax in reduction_axes:
+                    n *= x.shape[ax]
+                if self.axis_name is not None:
+                    n = n * jax.lax.psum(1, self.axis_name)
+                bessel = n / max(n - 1, 1)  # torch stores the unbiased var
+                ra_mean.value = (self.momentum * ra_mean.value
+                                 + (1 - self.momentum) * mean)
+                ra_var.value = (self.momentum * ra_var.value
+                                + (1 - self.momentum) * var * bessel)
+
+        return _fnorm._normalize(
+            self, x, mean, var, reduction_axes, feature_axes, self.dtype,
+            self.param_dtype, self.epsilon, self.use_bias, self.use_scale,
+            self.bias_init, self.scale_init, self.force_float32_reductions)
 
 
 def make_divisible(v: float, divisor: int = 8, min_value: int | None = None) -> int:
@@ -95,7 +164,7 @@ class ConvBNAct(nn.Module):
             name="conv",
         )(x)
         if self.norm == "bn":
-            x = nn.BatchNorm(
+            x = BatchNorm(
                 use_running_average=not train,
                 momentum=self.bn_momentum,
                 epsilon=self.bn_eps,

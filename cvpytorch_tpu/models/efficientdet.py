@@ -35,6 +35,8 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
+from .bricks import BatchNorm
+
 from ..registry import MODELS, NECKS
 from .backbones import build_backbone
 
@@ -60,7 +62,7 @@ class SeparableConvBlock(nn.Module):
                     name="depthwise_conv")(x)
         x = nn.Conv(out, (1, 1), use_bias=True, name="pointwise_conv")(x)
         if self.norm:
-            x = nn.BatchNorm(use_running_average=not train, **_BN,
+            x = BatchNorm(use_running_average=not train, **_BN,
                              name="bn")(x)
         if self.activation:
             x = _swish(x)
@@ -76,7 +78,7 @@ class ConvBN(nn.Module):
     def __call__(self, x, train: bool = False):
         x = nn.Conv(self.out_channels, (1, 1), use_bias=True,
                     name="conv")(x)
-        return nn.BatchNorm(use_running_average=not train, **_BN,
+        return BatchNorm(use_running_average=not train, **_BN,
                             name="bn")(x)
 
 
@@ -191,7 +193,7 @@ class Regressor(nn.Module):
         for lvl, f in enumerate(feats):
             for i, conv in enumerate(convs):
                 f = conv(f, train)
-                f = nn.BatchNorm(use_running_average=not train, **_BN,
+                f = BatchNorm(use_running_average=not train, **_BN,
                                  name=f"bn{lvl}_{i}")(f)
                 f = _swish(f)
             f = header(f, train)

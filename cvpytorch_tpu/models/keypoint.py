@@ -17,7 +17,7 @@ from flax import linen as nn
 
 from ..registry import MODELS
 from .backbones import build_backbone
-from .bricks import ConvBNAct
+from .bricks import BatchNorm, ConvBNAct
 
 
 def render_gaussian_heatmaps(keypoints, valid, hw, sigma: float = 2.0):
@@ -230,7 +230,7 @@ class LitePose(nn.Module):
         for i, ch in enumerate(self.deconv_channels):
             x = nn.ConvTranspose(ch, (4, 4), strides=(2, 2),
                                  name=f"deconv{i}")(x)
-            x = nn.relu(nn.BatchNorm(use_running_average=not train,
+            x = nn.relu(BatchNorm(use_running_average=not train,
                                      momentum=0.9, epsilon=1e-5,
                                      name=f"deconv_bn{i}")(x))
             skip = feats[len(feats) - 2 - i]

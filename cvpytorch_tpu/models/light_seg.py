@@ -14,7 +14,7 @@ from flax import linen as nn
 
 from ..config import dictionary_to_names_weights
 from ..registry import BACKBONES, MODELS
-from .bricks import ConvBNAct
+from .bricks import BatchNorm, ConvBNAct
 from .heads.seg_heads import resize_bilinear
 from .losses.seg_loss import cross_entropy_2d, ohem_cross_entropy_2d
 
@@ -52,7 +52,7 @@ class STDCCatBottleneck(nn.Module):
             h = nn.Conv(ch // 2, (3, 3), strides=2, padding=1,
                         feature_group_count=ch // 2, use_bias=False,
                         name="avd_conv")(out1)
-            h = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+            h = BatchNorm(use_running_average=not train, momentum=0.9,
                              epsilon=1e-5, name="avd_bn")(h)
             skip = nn.avg_pool(out1, (3, 3), strides=(2, 2),
                                padding=((1, 1), (1, 1)))

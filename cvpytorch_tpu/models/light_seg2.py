@@ -12,7 +12,7 @@ from flax import linen as nn
 from ..config import dictionary_to_names_weights
 from ..registry import MODELS
 from .backbones import build_backbone
-from .bricks import ConvBNAct
+from .bricks import BatchNorm, ConvBNAct
 from .heads.seg_heads import resize_bilinear
 from .light_seg import _seg_out
 from .losses.seg_loss import cross_entropy_2d, ohem_cross_entropy_2d
@@ -240,7 +240,7 @@ class SSnbt(nn.Module):
             ch, k, padding=((d * (k[0] - 1) // 2, d * (k[0] - 1) // 2),
                             (d * (k[1] - 1) // 2, d * (k[1] - 1) // 2)),
             kernel_dilation=(d, d), use_bias=True, name=nm)
-        bn = lambda nm: nn.BatchNorm(  # noqa: E731
+        bn = lambda nm: BatchNorm(  # noqa: E731
             use_running_average=not train, momentum=0.9, epsilon=1e-3,
             name=nm)
         # left: 3×1 → relu → 1×3 → bn → relu → 3×1(d) → relu → 1×3(d) → bn
@@ -291,7 +291,7 @@ class LEDNet(nn.Module):
                         use_bias=True, name=f"{name}_conv")(x)
             p = nn.max_pool(x, (2, 2), strides=(2, 2))
             y = jnp.concatenate([c, p], -1)
-            y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+            y = BatchNorm(use_running_average=not train, momentum=0.9,
                              epsilon=1e-3, name=f"{name}_bn")(y)
             return nn.relu(y)
 
@@ -310,7 +310,7 @@ class LEDNet(nn.Module):
             def f(v):
                 v = nn.Conv(ch, (k, k), strides=st, padding=k // 2,
                             use_bias=True, name=f"{nm}_conv")(v)
-                v = nn.BatchNorm(use_running_average=not train,
+                v = BatchNorm(use_running_average=not train,
                                  momentum=0.9, epsilon=1e-3,
                                  name=f"{nm}_bn")(v)
                 return nn.relu(v)

@@ -11,7 +11,7 @@ from flax import linen as nn
 from ..config import dictionary_to_names_weights
 from ..registry import MODELS
 from .backbones import build_backbone
-from .bricks import ConvBNAct
+from .bricks import BatchNorm, ConvBNAct
 from .heads.seg_heads import resize_bilinear
 from .light_seg import _seg_out
 
@@ -138,11 +138,11 @@ class _SGCPSe(nn.Module):
         c = x.shape[-1]
         g = jnp.mean(x, axis=(1, 2), keepdims=True)
         g = nn.Conv(c // 4, (1, 1), use_bias=False, name="fc1")(g)
-        g = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+        g = BatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5, name="bn1")(g)
         g = nn.relu(g)
         g = nn.Conv(c, (1, 1), use_bias=False, name="fc2")(g)
-        g = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+        g = BatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5, name="bn2")(g)
         return x * jnp.clip((g + 3.0) / 6.0, 0.0, 1.0)   # hardsigmoid
 
@@ -165,7 +165,7 @@ class _SGCPBlock(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         act = nn.relu if self.act == "relu" else _hswish
-        bn = lambda nm: nn.BatchNorm(  # noqa: E731
+        bn = lambda nm: BatchNorm(  # noqa: E731
             use_running_average=not train, momentum=0.9, epsilon=1e-5,
             name=nm)
         h = act(bn("bn1")(nn.Conv(self.expand, (1, 1), use_bias=False,
@@ -227,7 +227,7 @@ class SGCPNet(nn.Module):
         # -- backbone ----------------------------------------------------
         x = nn.Conv(16, (3, 3), strides=2, padding=1, use_bias=False,
                     name="stem_conv")(images)
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+        x = BatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5, name="stem_bn")(x)
         x = _hswish(x)
         feats = []
@@ -250,7 +250,7 @@ class SGCPNet(nn.Module):
             def f(v):
                 v = nn.Conv(ch, (1, 1), use_bias=True,
                             name=f"{name}_conv")(v)
-                return nn.BatchNorm(use_running_average=not train, **bn99,
+                return BatchNorm(use_running_average=not train, **bn99,
                                     name=f"{name}_bn")(v)
             return f
 
@@ -263,11 +263,11 @@ class SGCPNet(nn.Module):
                 c = v.shape[-1]
                 v = nn.Conv(c, (3, 3), padding=1, feature_group_count=c,
                             use_bias=False, name=f"{name}_dw")(v)
-                v = nn.BatchNorm(use_running_average=not train, **bn99,
+                v = BatchNorm(use_running_average=not train, **bn99,
                                  name=f"{name}_dwbn")(v)
                 v = nn.Conv(c, (1, 1), use_bias=False,
                             name=f"{name}_pw")(v)
-                return nn.BatchNorm(use_running_average=not train, **bn99,
+                return BatchNorm(use_running_average=not train, **bn99,
                                     name=f"{name}_pwbn")(v)
             return f
 

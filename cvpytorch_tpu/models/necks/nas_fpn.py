@@ -20,6 +20,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from ..bricks import BatchNorm
+
 from ...registry import NECKS
 
 
@@ -56,7 +58,7 @@ class _MergeCell(nn.Module):
         y = nn.relu(y)
         y = nn.Conv(self.out_channels, (3, 3), padding=1, use_bias=False,
                     name="conv")(y)
-        return nn.BatchNorm(use_running_average=not train, momentum=0.9,
+        return BatchNorm(use_running_average=not train, momentum=0.9,
                             epsilon=1e-5, name="bn")(y)
 
 

@@ -300,10 +300,11 @@ class MaskRCNN(nn.Module):
             # the dataset's gt raster (DATASET.*.MASK_SIZE) must agree or
             # segm IoU silently compares different resolutions — catches
             # models built outside Trainer (bench/export/user scripts)
-            assert mh == self.mask_size, (
-                f"dataset MASK_SIZE={mh} != model mask_size="
-                f"{self.mask_size}; pass mask_size={mh} to MaskRCNN "
-                "(Trainer threads this automatically)")
+            if mh != self.mask_size:  # not assert: must survive python -O
+                raise ValueError(
+                    f"dataset MASK_SIZE={mh} != model mask_size="
+                    f"{self.mask_size}; pass mask_size={mh} to MaskRCNN "
+                    "(Trainer threads this automatically)")
             h, w = images.shape[1:3]
             sel = jnp.take_along_axis(
                 gmasks, best_gt[..., None, None], axis=1)  # (B,K,Hm,Wm)

@@ -15,6 +15,8 @@ from typing import Any, Sequence
 import jax.numpy as jnp
 from flax import linen as nn
 
+from .bricks import BatchNorm
+
 from ..config import dictionary_to_names_weights
 from ..ops.pool import max_pool_argmax, max_unpool
 from ..registry import MODELS
@@ -61,7 +63,7 @@ class _CBA(nn.Module):
                         padding=pad if k[0] > 1 or k[1] > 1 else 0,
                         kernel_dilation=self.dilation,
                         use_bias=self.use_bias, name="conv")(x)
-        x = nn.BatchNorm(use_running_average=not train, **_BN, name="bn")(x)
+        x = BatchNorm(use_running_average=not train, **_BN, name="bn")(x)
         if self.act == "relu":
             x = nn.relu(x)
         elif self.act == "prelu":
@@ -219,7 +221,7 @@ class ENet(nn.Module):
                     name="init_conv")(images)
         p, _ = max_pool_argmax(images, 3, 2, 1)
         x = jnp.concatenate([c, p], -1)
-        x = nn.BatchNorm(use_running_average=not train, **_BN,
+        x = BatchNorm(use_running_average=not train, **_BN,
                          name="init_bn")(x)
         x = PReLU(name="init_act")(x)
 

@@ -15,6 +15,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from .bricks import BatchNorm
+
 from ..config import dictionary_to_names_weights
 from ..registry import MODELS
 from .losses.seg_loss import build_seg_loss, cross_entropy_2d
@@ -49,7 +51,7 @@ class DoubleConv(nn.Module):
         for i in range(2):
             x = nn.Conv(self.out_channels, (3, 3), padding=1,
                         name=f"conv{i}")(x)
-            x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+            x = BatchNorm(use_running_average=not train, momentum=0.9,
                              epsilon=1e-5, name=f"bn{i}")(x)
             x = nn.relu(x)
         return x

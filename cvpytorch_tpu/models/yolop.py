@@ -16,7 +16,7 @@ from ..ops.boxes import clip_boxes, unletterbox_boxes, xyxy_to_cxcywh
 from ..ops.nms import yolo_non_max_suppression
 from ..registry import MODELS
 from .backbones.csp_darknet import SIZE_CFG, YOLOv5CSPDarknet
-from .bricks import ConvBNAct
+from .bricks import BatchNorm, ConvBNAct
 from .detects.yolov5_detect import YOLOv5Detect, decode_yolov5
 from .heads.seg_heads import resize_bilinear
 from .losses.seg_loss import cross_entropy_2d
@@ -51,7 +51,7 @@ class YoloBottleneckCSP(nn.Module):
         y1 = nn.Conv(c_, (1, 1), use_bias=False, name="cv3")(y1)
         y2 = nn.Conv(c_, (1, 1), use_bias=False, name="cv2")(x)
         y = jnp.concatenate([y1, y2], -1)
-        y = nn.BatchNorm(use_running_average=not train, momentum=0.97,
+        y = BatchNorm(use_running_average=not train, momentum=0.97,
                          epsilon=1e-3, name="bn")(y)
         y = nn.leaky_relu(y, 0.1)
         return ConvBNAct(self.out, 1, act="silu", **_BN,

@@ -20,7 +20,7 @@ from ..ops.boxes import clip_boxes, unletterbox_boxes, xyxy_to_cxcywh
 from ..ops.nms import yolo_non_max_suppression
 from ..registry import MODELS
 from .backbones.csp_darknet import SIZE_CFG
-from .bricks import ConvBNAct, make_divisible
+from .bricks import BatchNorm, ConvBNAct, make_divisible
 from .detects.yolov5_detect import YOLOv5Detect, decode_yolov5
 from .losses.yolov7_loss import YOLOv7Loss
 from .necks.yolov5_neck import upsample2x
@@ -186,13 +186,13 @@ class RepConv(nn.Module):
                   epsilon=1e-3)
         y3 = nn.Conv(self.out, (3, 3), strides=self.stride, padding=1,
                      use_bias=False, name="rbr_dense_conv")(x)
-        y3 = nn.BatchNorm(**bn, name="rbr_dense_bn")(y3)
+        y3 = BatchNorm(**bn, name="rbr_dense_bn")(y3)
         y1 = nn.Conv(self.out, (1, 1), strides=self.stride,
                      use_bias=False, name="rbr_1x1_conv")(x)
-        y1 = nn.BatchNorm(**bn, name="rbr_1x1_bn")(y1)
+        y1 = BatchNorm(**bn, name="rbr_1x1_bn")(y1)
         out = y3 + y1
         if self.stride == 1 and x.shape[-1] == self.out:
-            out = out + nn.BatchNorm(**bn, name="rbr_identity")(x)
+            out = out + BatchNorm(**bn, name="rbr_identity")(x)
         return nn.silu(out)
 
 

@@ -419,6 +419,12 @@ class Trainer:
         loss_logger = LossLogger()
         for batch in self.dataloaders["val"]:
             targets_host = batch.get("target")
+            if isinstance(batch.get("target"), dict):
+                # thread the epoch into val targets too, so epoch-scheduled
+                # losses (YOLOv6 ATSS→TAL warmup) report val losses with the
+                # SAME assigner branch the train step is using (ADVICE r4 #3)
+                batch = {**batch, "target": {**batch["target"],
+                                             "epoch": np.int32(epoch)}}
             sbatch = pmesh.shard_batch(
                 self.mesh,
                 {k: v for k, v in batch.items() if k != "target" or not isinstance(v, list)},

@@ -181,3 +181,53 @@ def test_coco_match_c_vs_python():
                 gtm[t, m] = True
         assert (dtm_c == dtm).all(), trial
         assert (dtig_c == dtig).all(), trial
+
+
+def test_coco_match_areas_c_vs_python(monkeypatch):
+    """The batched all-areaRng C matcher (coco_match_areas — the path
+    add_image actually uses in production) vs per-area _evaluate_img with
+    its pure-python fallback forced, incl. D=0/G=0 and crowd cells
+    (ADVICE r4 #2)."""
+    import numpy as np
+
+    import cvpytorch_tpu.native as native
+    from cvpytorch_tpu.evaluator.coco import (
+        AREA_KEYS, AREA_RNG, IOU_THRS, _evaluate_img)
+
+    if not native.HAVE_NATIVE:
+        import pytest
+        pytest.skip("no native lib")
+
+    ranges = [AREA_RNG[a] for a in AREA_KEYS]
+    rs = np.random.RandomState(7)
+    for trial in range(150):
+        D = rs.randint(0, 12)
+        G = rs.randint(0, 9)
+        ious = rs.rand(D, G)
+        gt_crowd = rs.rand(G) < 0.25
+        # production passes base_ig == crowd, but the C signature takes it
+        # separately — fuzz a superset
+        base_ig = gt_crowd | (rs.rand(G) < 0.2)
+        # areas spanning every rng bucket (all/small/medium/large)
+        gt_areas = np.exp(rs.uniform(0, np.log(1e6), G))
+        dt_areas = np.exp(rs.uniform(0, np.log(1e6), D))
+
+        got = native.coco_match_areas(
+            ious, IOU_THRS, base_ig, gt_crowd, gt_areas, dt_areas, ranges)
+        assert got is not None
+        dtm_a, dtig_a, npig_a = got
+
+        # oracle: per-area _evaluate_img with the C single-cell matcher
+        # disabled so the pure-python loop runs
+        monkeypatch.setattr(native, "coco_match",
+                            lambda *a, **k: None)
+        try:
+            for ai, a in enumerate(AREA_KEYS):
+                dtm, dtig, npig = _evaluate_img(
+                    ious, base_ig.copy(), gt_crowd, gt_areas, dt_areas,
+                    AREA_RNG[a])
+                assert (dtm_a[ai] == dtm).all(), (trial, a)
+                assert (dtig_a[ai] == dtig).all(), (trial, a)
+                assert int(npig_a[ai]) == npig, (trial, a)
+        finally:
+            monkeypatch.undo()
