@@ -33,6 +33,13 @@ class ClassificationEvaluator(BaseEvaluator):
             self.total[c] += int(sel.sum())
             self.correct[c] += int((p[sel] == c).sum())
 
+    def state_dict(self):
+        return {"correct": self.correct, "total": self.total}
+
+    def merge_state_dicts(self, states):
+        self.correct = np.sum([s["correct"] for s in states], axis=0)
+        self.total = np.sum([s["total"] for s in states], axis=0)
+
     def evaluate(self) -> dict:
         with np.errstate(divide="ignore", invalid="ignore"):
             per_class = np.where(self.total > 0, self.correct / np.maximum(self.total, 1), np.nan)

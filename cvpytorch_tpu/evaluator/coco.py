@@ -201,6 +201,19 @@ class COCOEvalNative:
             {a: [] for a in self.area_keys} for _ in range(self.num_classes)]
         self.any_gt = np.zeros(self.num_classes, bool)
 
+    def state_dict(self):
+        return {"records": self.records, "any_gt": self.any_gt}
+
+    def merge_state_dicts(self, states):
+        """Concatenate per-(class, areaRng) image records across processes
+        — image-level accumulation is order-free, so this equals having
+        scored the full val set locally (reference eval_coco.py:205-224)."""
+        self.records = [
+            {a: [r for s in states for r in s["records"][c][a]]
+             for a in self.area_keys}
+            for c in range(self.num_classes)]
+        self.any_gt = np.any([s["any_gt"] for s in states], axis=0)
+
     def add_image(self, gt_boxes, gt_labels, det_boxes, det_scores,
                   det_labels, gt_crowd=None, gt_masks=None, det_masks=None,
                   gt_kpts=None, det_kpts=None, gt_ann_areas=None):
@@ -437,6 +450,13 @@ class CocoEvaluator(BaseEvaluator):
                 ev.add_image(
                     gb, t_labels[i][gv], p_boxes[i][pv], p_scores[i][pv],
                     p_labels[i][pv], gt_crowd=t_crowd[i][gv], **kw)
+
+    def state_dict(self):
+        return {t: ev.state_dict() for t, ev in self._evals.items()}
+
+    def merge_state_dicts(self, states):
+        for t, ev in self._evals.items():
+            ev.merge_state_dicts([s[t] for s in states])
 
     def evaluate(self) -> dict:
         out = {"performance": 0.0}

@@ -51,6 +51,15 @@ class KeypointEvaluator(BaseEvaluator):
             e = dist[b][:k] ** 2 / (2 * np.maximum(size[b], 1e-6) ** 2 * var)
             self._oks.append(float(np.exp(-e)[v].mean()))
 
+    def state_dict(self):
+        return {"correct": self._correct, "total": self._total,
+                "oks": self._oks}
+
+    def merge_state_dicts(self, states):
+        self._correct = sum(s["correct"] for s in states)
+        self._total = sum(s["total"] for s in states)
+        self._oks = [o for s in states for o in s["oks"]]
+
     def evaluate(self) -> dict:
         pck = self._correct / max(self._total, 1)
         oks = np.asarray(self._oks)

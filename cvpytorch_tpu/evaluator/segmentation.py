@@ -36,6 +36,12 @@ class SegmentationEvaluator(BaseEvaluator):
             idx, minlength=self.num_classes**2
         ).reshape(self.num_classes, self.num_classes)
 
+    def state_dict(self):
+        return {"confusion": self.confusion}
+
+    def merge_state_dicts(self, states):
+        self.confusion = np.sum([s["confusion"] for s in states], axis=0)
+
     def evaluate(self) -> dict:
         c = self.confusion.astype(np.float64)
         diag = np.diag(c)

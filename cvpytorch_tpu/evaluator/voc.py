@@ -7,7 +7,7 @@ import numpy as np
 
 from ..registry import EVALUATORS
 from .base import BaseEvaluator
-from .coco import _iou_matrix
+from .coco import _box_iou
 
 
 @EVALUATORS.register(name="voc_detection")
@@ -43,6 +43,13 @@ class VOCEvaluator(BaseEvaluator):
                                np.asarray(preds["scores"][i])[pv],
                                np.asarray(preds["labels"][i])[pv]))
 
+    def state_dict(self):
+        return {"dets": self._dets, "gts": self._gts}
+
+    def merge_state_dicts(self, states):
+        self._dets = [d for s in states for d in s["dets"]]
+        self._gts = [g for s in states for g in s["gts"]]
+
     def evaluate(self) -> dict:
         aps = {}
         for c in range(self.num_classes):
@@ -61,7 +68,7 @@ class VOCEvaluator(BaseEvaluator):
                     if len(g) == 0:
                         matches.append(0)
                         continue
-                    ious = _iou_matrix(d[k:k + 1], g)[0]
+                    ious = _box_iou(d[k:k + 1], g, np.zeros(len(g), bool))[0]
                     best = int(np.argmax(ious))
                     if ious[best] >= self.iou_threshold and not used[best]:
                         used[best] = True

@@ -181,3 +181,32 @@ def local_device_count() -> int:
 def is_main_process() -> bool:
     """Rank-0 gating idiom (reference: distributed.py:66)."""
     return jax.process_index() == 0
+
+
+def allgather_pickled(obj: Any) -> list:
+    """Gather one picklable object from every process; returns the list
+    ordered by process index (single-process: ``[obj]``).
+
+    The multi-host analog of the reference's
+    ``synchronize_between_processes`` detection-list allgather
+    (reference: eval_coco.py:205-224, distributed.py:161-172): payloads
+    are pickled to uint8, padded to the global max length, and shipped
+    with ``multihost_utils.process_allgather`` (one DCN collective for
+    the sizes, one for the data).
+    """
+    import pickle
+
+    if jax.process_count() == 1:
+        return [obj]
+    from jax.experimental import multihost_utils as mh
+
+    data = np.frombuffer(pickle.dumps(obj), np.uint8)
+    sizes = mh.process_allgather(np.array([data.size], np.int64))
+    sizes = np.asarray(sizes).reshape(-1)
+    padded = np.zeros(int(sizes.max()), np.uint8)
+    padded[: data.size] = data
+    gathered = np.asarray(mh.process_allgather(padded))
+    return [
+        pickle.loads(gathered[p, : int(sizes[p])].tobytes())
+        for p in range(jax.process_count())
+    ]
