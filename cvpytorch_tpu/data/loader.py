@@ -125,3 +125,61 @@ class DataLoader:
                     out_q.get_nowait()
                 except queue.Empty:
                     break
+
+
+class DevicePrefetcher:
+    """Double-buffered device feed (reference:
+    src/data/datasets/prefetch_dataLoader.py:11-110 — the CUDA-stream
+    prefetcher whose TPU analog this is).
+
+    Wraps a host batch iterator: a daemon thread pulls batches, runs
+    ``transfer`` (e.g. ``jax.device_put`` or a sharded put) and keeps up
+    to ``depth`` transferred batches in flight, so host decode + H2D for
+    step k+1 overlap device compute for step k.  ``jax.device_put``
+    releases the GIL during the copy, so the overlap is real even on a
+    single host core.  The train loop becomes a pipeline whose throughput
+    is its slowest STAGE, not the serial sum of stages.
+    """
+
+    def __init__(self, iterator, transfer=None, depth: int = 2):
+        import queue as _queue
+        import threading as _threading
+
+        import jax as _jax
+
+        self._transfer = transfer or _jax.device_put
+        self._q: "_queue.Queue" = _queue.Queue(maxsize=max(depth, 1))
+        self._stop = _threading.Event()
+
+        def producer():
+            try:
+                for batch in iterator:
+                    if self._stop.is_set():
+                        return
+                    self._q.put(self._transfer(batch))
+            except Exception as e:            # surface in consumer
+                self._q.put(e)
+                return
+            self._q.put(None)
+
+        self._thread = _threading.Thread(target=producer, daemon=True)
+        self._thread.start()
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        item = self._q.get()
+        if item is None:
+            raise StopIteration
+        if isinstance(item, Exception):
+            raise item
+        return item
+
+    def close(self):
+        self._stop.set()
+        while self._thread.is_alive():
+            try:
+                self._q.get_nowait()
+            except Exception:
+                break

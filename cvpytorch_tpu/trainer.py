@@ -27,6 +27,7 @@ import jax
 import numpy as np
 
 from .config import CommonConfiguration, load_dictionary
+from .data import loader as loader_mod
 from .data.loader import DataLoader
 from .data.transforms import build_transforms
 from .evaluator import build_evaluator
@@ -379,19 +380,28 @@ class Trainer:
         pending = None  # (metrics, iter) — read one step late: no sync stall
         it = 0
         dev_aug = getattr(self, "_device_aug_size", None)
-        for it, batch in enumerate(loader):
+
+        def prepared():
+            for i, batch in enumerate(loader):
+                if isinstance(batch.get("target"), dict):
+                    # traced scalars: epoch-scheduled losses (YOLOv6
+                    # ATSS→TAL warmup) switch via lax.cond, and the in-jit
+                    # device-aug RNG folds in aug_step — neither retraces
+                    # across steps (reference trainer.py:180)
+                    extra = {"epoch": np.int32(epoch)}
+                    if dev_aug:
+                        extra["aug_step"] = np.int32(epoch * len(loader) + i)
+                    batch = {**batch, "target": {**batch["target"], **extra}}
+                yield batch
+
+        # double-buffered device feed: host decode + H2D for step k+1
+        # overlap device compute for step k (reference
+        # prefetch_dataLoader.py's CUDA-stream prefetch, TPU analog)
+        feed = loader_mod.DevicePrefetcher(
+            prepared(), transfer=lambda b: pmesh.shard_batch(self.mesh, b))
+        for it, sbatch in enumerate(feed):
             gstep = epoch * len(loader) + it
-            if isinstance(batch.get("target"), dict):
-                # traced scalars: epoch-scheduled losses (YOLOv6 ATSS→TAL
-                # warmup) switch via lax.cond, and the in-jit device-aug
-                # RNG folds in aug_step — neither retraces across steps
-                # (reference trainer.py:180 threads epoch the same way)
-                extra = {"epoch": np.int32(epoch)}
-                if dev_aug:
-                    extra["aug_step"] = np.int32(gstep)
-                batch = {**batch, "target": {**batch["target"], **extra}}
             self._profiler_hook(gstep)
-            sbatch = pmesh.shard_batch(self.mesh, batch)
             state, metrics = train_step(state, sbatch)
             if pending is not None and (pending[1] + 1) % display == 0:
                 m = {k: float(v) for k, v in pending[0].items()}
@@ -434,6 +444,13 @@ class Trainer:
             loss_dict, preds = eval_step(state, sbatch)
             loss_logger.update({k: float(v) for k, v in loss_dict.items()})
             self.evaluator.update(targets_host, jax.device_get(preds))
+        if jax.process_count() > 1:
+            # each host scored only its dataloader shard — gather every
+            # process's accumulation so best-checkpoint/early-stop see the
+            # FULL val set (reference eval_coco.py:205-224
+            # synchronize_between_processes)
+            self.evaluator.merge_state_dicts(
+                pmesh.allgather_pickled(self.evaluator.state_dict()))
         metrics = self.evaluator.evaluate()
         perf = float(metrics.get("performance", 0.0))
         self.logger.info(
