@@ -138,6 +138,22 @@ def build_optimizer(cfg, lr_schedule) -> optax.GradientTransformation:
     )
     if hasattr(wp, "get") and wp.get("momentum") is not None:
         kwargs["momentum"] = float(wp.get("momentum"))
+    if hasattr(wp, "get") and wp.get("nesterov") is not None:
+        kwargs["nesterov"] = bool(wp.get("nesterov"))
+    # the reference builds bias/norm groups from BIAS_PARAMS and weight
+    # groups from WEIGHT_PARAMS (optimizers/__init__.py:38-57) — momentum
+    # and nesterov can differ per group (the shipped yolov5 conf sets
+    # nesterov only under WEIGHT_PARAMS, so its bias/norm groups silently
+    # run plain momentum — replicated exactly)
+    bp = get("BIAS_PARAMS") or {}
+    bget = bp.get if hasattr(bp, "get") else (lambda k, d=None: dict(bp).get(k, d))
+    bias_kwargs = dict(kwargs)
+    bias_kwargs.pop("nesterov", None)
+    if bget("momentum") is not None:
+        bias_kwargs["momentum"] = float(bget("momentum"))
+    if bget("nesterov") is not None:
+        bias_kwargs["nesterov"] = bool(bget("nesterov"))
+    groups_differ = bias_kwargs != kwargs
     bias_mult = float(get("BIAS_LR_MULTIPLIER") or 1.0)
 
     decoupled = opt_type == "AdamW"
@@ -146,9 +162,10 @@ def build_optimizer(cfg, lr_schedule) -> optax.GradientTransformation:
         return jax.tree_util.tree_map_with_path(
             lambda p, l: _leaf_label(p, l) == "weight", params)
 
-    def make_core(scale: float, decay: float | None = None):
+    def make_core(scale: float, decay: float | None = None,
+                  group_kwargs: dict | None = None):
         sched = (lambda s: lr_schedule(s) * scale) if scale != 1.0 else lr_schedule
-        kw = dict(kwargs)
+        kw = dict(kwargs if group_kwargs is None else group_kwargs)
         if decoupled:
             # decay == None → whole-tree core: mask decay to weights inside.
             # decay given → multi_transform per-group core: group IS the
@@ -181,7 +198,7 @@ def build_optimizer(cfg, lr_schedule) -> optax.GradientTransformation:
     base_lr = float(cfg.INIT_LR or 0.01)
     bb_scale = (float(backbone_lr) / base_lr) if backbone_lr else 1.0
 
-    if bias_mult != 1.0 or bb_scale != 1.0:
+    if bias_mult != 1.0 or bb_scale != 1.0 or groups_differ:
         def labels_fn(params):
             def label(path, leaf):
                 name = "/".join(
@@ -194,14 +211,15 @@ def build_optimizer(cfg, lr_schedule) -> optax.GradientTransformation:
 
             return jax.tree_util.tree_map_with_path(label, params)
 
-        transforms = {"bias": make_core(bias_mult, decay=0.0),
-                      "norm": make_core(1.0, decay=0.0),
-                      "weight": make_core(1.0, decay=wd)}
+        transforms = {"bias": make_core(bias_mult, 0.0, bias_kwargs),
+                      "norm": make_core(1.0, 0.0, bias_kwargs),
+                      "weight": make_core(1.0, wd)}
         if bb_scale != 1.0:
             transforms.update({
-                "backbone_bias": make_core(bias_mult * bb_scale, decay=0.0),
-                "backbone_norm": make_core(bb_scale, decay=0.0),
-                "backbone_weight": make_core(bb_scale, decay=wd),
+                "backbone_bias": make_core(bias_mult * bb_scale, 0.0,
+                                           bias_kwargs),
+                "backbone_norm": make_core(bb_scale, 0.0, bias_kwargs),
+                "backbone_weight": make_core(bb_scale, wd),
             })
         core = optax.multi_transform(transforms, labels_fn)
     else:

@@ -49,6 +49,8 @@ def convert_tensor(name: str, t, transposed: bool = False
                     a.transpose(2, 3, 0, 1)[::-1, ::-1].copy() if transposed
                     else a.transpose(2, 3, 1, 0),
                     "params")
+        if a.ndim == 3:  # conv1d (out,in,k) → flax (k,in,out)
+            return "kernel", a.transpose(2, 1, 0), "params"
         if a.ndim == 2:  # linear
             return "kernel", a.T, "params"
         return "scale", a, "params"  # norm affine weight

@@ -235,7 +235,11 @@ def test_instance_segmentation_learns(tmp_path):
           EVAL_TYPE: 'mAP'
           IOU_TYPES: ['bbox', 'segm']
           EVAL_INTERVALS: 1000
-        N_MAX_EPOCHS: 60
-        """ + COMMON_TAIL.replace("{lr}", "0.005"))
+        N_MAX_EPOCHS: 200
+        """ + COMMON_TAIL.replace("{lr}", "0.001"))
+        # lr 1e-3 / 400 steps: Adam 5e-3 destabilizes the 30M shared trunk
+        # (rpn_reg starts ~7 and the RPN never localizes — r5 probe);
+        # at 1e-3 a single-batch probe reaches det-IoU 0.88-0.95 by
+        # step 300 with val-mode losses matching train-mode
     assert metrics["bbox_mAP"] >= 0.3, metrics
     assert metrics["segm_mAP"] >= 0.3, metrics
