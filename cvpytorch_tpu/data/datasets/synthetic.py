@@ -126,7 +126,11 @@ class SyntheticDetection(Dataset):
             bh = rng.randint(h // 8, h // 3)
             x0 = rng.randint(0, w - bw)
             y0 = rng.randint(0, h - bh)
-            img[y0:y0 + bh, x0:x0 + bw] = (40 * (cls + 1)) % 255
+            # 60 + 80·cls: class 0 sits at 60 vs the 0-30 background noise
+            # (the old 40·(cls+1) left class 0 at 40 — barely separable
+            # from background once HSV jitter + warp resampling smear it,
+            # measured as AP_thing ≈ 0 in the 640² device-aug proof)
+            img[y0:y0 + bh, x0:x0 + bw] = (60 + 80 * cls) % 255
             boxes.append([x0, y0, x0 + bw, y0 + bh])
             labels.append(cls)
         target = {
