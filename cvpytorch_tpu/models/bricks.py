@@ -63,13 +63,16 @@ class BatchNorm(nn.BatchNorm):
             var = (ra_var.value if self.force_float32_reductions
                    else jnp.asarray(ra_var.value, self.param_dtype))
         else:
+            import os
+            f32r = (self.force_float32_reductions and
+                    os.environ.get("CVT_BN_BF16_STATS") != "1")
             mean, var = _fnorm._compute_stats(
                 x, reduction_axes, dtype=self.dtype,
                 axis_name=(self.axis_name
                            if not self.is_initializing() else None),
                 axis_index_groups=self.axis_index_groups,
                 use_fast_variance=self.use_fast_variance, mask=mask,
-                force_float32_reductions=self.force_float32_reductions)
+                force_float32_reductions=f32r)
             if not self.is_initializing():
                 n = 1
                 for ax in reduction_axes:

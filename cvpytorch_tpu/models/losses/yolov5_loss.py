@@ -149,7 +149,19 @@ class YOLOv5Loss:
             # objectness: scatter-max detached IoU into the cell grid;
             # logits come from a strided lane slice of the packed map
             # (channel a·no+4), flat index s·A+a == flat_cell
-            obj_logits = pk[..., 4::no].reshape(B, S * A)
+            import os
+            if os.environ.get("CVT_OBJ_SLICE") == "matmul":
+                # A/B experiment (VERDICT r4 #8): one-hot selection matmul
+                # instead of the minor-dim stride-85 slice — exact (each
+                # output sums exactly one nonzero product), and its bwd is
+                # a dense matmul in the conv's live 255-lane layout instead
+                # of a strided pad that disagrees with the gather scatter.
+                sel = jnp.zeros((A * no, A), pi.dtype).at[
+                    jnp.arange(A) * no + 4, jnp.arange(A)].set(1.0)
+                obj_logits = jnp.einsum("bsk,ka->bsa", pk, sel).reshape(
+                    B, S * A)
+            else:
+                obj_logits = pk[..., 4::no].reshape(B, S * A)
             score = jax.lax.stop_gradient(jnp.clip(iou, 0.0)) * w
             tobj = jax.vmap(
                 lambda idx, s: jnp.zeros(ny * nx * A).at[idx].max(s)

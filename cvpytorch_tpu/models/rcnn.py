@@ -288,11 +288,27 @@ class MaskRCNN(nn.Module):
 
         if self.with_mask and "masks" in (targets or {}):
             B, K, _ = proposals.shape
-            flat = proposals.reshape(B * K, 4)
-            idx = jnp.repeat(jnp.arange(B), K)
+            # The mask branch trains on the POSITIVE proposals only —
+            # torchvision caps them at 512·positive_fraction(0.25)=128 per
+            # image (roi_heads.py subsample → mask branch keeps
+            # proposals[pos]) while the box branch sees the full sampled
+            # set.  Fixed-shape form: stable top-k on the fg indicator
+            # gathers the first Km fg slots (identical loss when
+            # n_fg ≤ Km, torchvision's cap semantics beyond); running
+            # align+head+BCE on 272 slots and zero-weighting was ~45% of
+            # the 800² step's device time (tap gathers/scatters on
+            # (2176·784, 256) rows — trace r5, PERF.md).
+            Km = min(128, K)
+            _, midx = jax.lax.top_k(fg.astype(jnp.float32), Km)  # stable
+            mprop = jnp.take_along_axis(proposals, midx[..., None], axis=1)
+            mfg = jnp.take_along_axis(fg, midx, axis=1)
+            mbest = jnp.take_along_axis(best_gt, midx, axis=1)
+            mlab = jnp.take_along_axis(safe_lab, midx, axis=1)
+            flat = mprop.reshape(B * Km, 4)
+            idx = jnp.repeat(jnp.arange(B), Km)
             mroi = multiscale_roi_align(feats[:4], RPN_STRIDES[:4], flat,
                                         idx, output_size=14)
-            mask_logits = self.mask_head(mroi)  # (BK, 28, 28, C)
+            mask_logits = self.mask_head(mroi)  # (B·Km, 28, 28, C)
             # crop matched gt instance masks to the proposal windows
             gmasks = targets["masks"]  # (B, M, Hm, Wm) float 0/1
             mh = gmasks.shape[-1]
@@ -307,20 +323,23 @@ class MaskRCNN(nn.Module):
                     "(Trainer threads this automatically)")
             h, w = images.shape[1:3]
             sel = jnp.take_along_axis(
-                gmasks, best_gt[..., None, None], axis=1)  # (B,K,Hm,Wm)
-            sel_flat = sel.reshape(B * K, mh, mh)[..., None]
+                gmasks, mbest[..., None, None], axis=1)  # (B,Km,Hm,Wm)
+            sel_flat = sel.reshape(B * Km, mh, mh)
             scale = mh / jnp.array([w, h, w, h], jnp.float32)
-            from ..ops.roi_align import roi_align as _ra
+            # separable-matmul ROIAlign on the mask planes: exactly
+            # vmap(roi_align) numerics but MXU einsums instead of 6.8M
+            # scalar gathers (~620 ms/step of the 800² trace, PERF.md r5)
+            from ..ops.roi_align import crop_resize_separable
 
-            tgt_crop = jax.vmap(
-                lambda m, b: _ra(m, b[None], output_size=28)[0]
-            )(sel_flat, flat * scale)[..., 0]  # (BK, 28, 28)
-            lab_flat = safe_lab.reshape(-1)
+            tgt_crop = crop_resize_separable(
+                sel_flat, flat * scale, output_size=28)  # (B·Km, 28, 28)
+            lab_flat = mlab.reshape(-1)
             m_sel = jnp.take_along_axis(
                 mask_logits, lab_flat[:, None, None, None], axis=-1)[..., 0]
             mbce = optax.sigmoid_binary_cross_entropy(
                 m_sel, (tgt_crop > 0.5).astype(jnp.float32))
-            mask_loss = (mbce.mean((1, 2)) * fg.reshape(-1)).sum() / n_fg
+            n_mfg = jnp.maximum(mfg.sum(), 1.0)
+            mask_loss = (mbce.mean((1, 2)) * mfg.reshape(-1)).sum() / n_mfg
             losses["mask_loss"] = mask_loss
             total = total + mask_loss
 

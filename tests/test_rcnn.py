@@ -57,6 +57,55 @@ def test_multiscale_roi_align_level_select():
     assert np.allclose(np.asarray(out[1]), 3.0)
 
 
+def test_multiscale_single_gather_matches_masked():
+    # the single-gather leveled path must equal the align-on-every-level
+    # one-hot form exactly (same taps, same masks), incl. OOB boxes and
+    # mixed batch indices
+    from cvpytorch_tpu.ops.roi_align import _multiscale_roi_align_masked
+
+    rng = np.random.RandomState(3)
+    B, C = 2, 5
+    feats = [jnp.asarray(rng.randn(B, 64 // s * 4, 64 // s * 4, C)
+                         .astype(np.float32)) for s in (4, 8, 16, 32)]
+    n = 24
+    xy = rng.rand(n, 2) * 200 - 30          # some exit the image
+    wh = rng.rand(n, 2) * 250 + 4           # sizes spanning all levels
+    boxes = jnp.asarray(np.concatenate([xy, xy + wh], -1).astype(np.float32))
+    idx = jnp.asarray(rng.randint(0, B, n).astype(np.int32))
+    a = multiscale_roi_align(feats, (4, 8, 16, 32), boxes, idx, output_size=7)
+    b = _multiscale_roi_align_masked(feats, (4, 8, 16, 32), boxes, idx,
+                                     output_size=7)
+    assert a.shape == b.shape == (n, 7, 7, C)
+    assert np.allclose(np.asarray(a), np.asarray(b), atol=1e-5), \
+        np.abs(np.asarray(a) - np.asarray(b)).max()
+    # gradients through the gather must match too (train path uses them)
+    ga = jax.grad(lambda fs: multiscale_roi_align(
+        fs, (4, 8, 16, 32), boxes, idx).sum())(feats)
+    gb = jax.grad(lambda fs: _multiscale_roi_align_masked(
+        fs, (4, 8, 16, 32), boxes, idx).sum())(feats)
+    for x, y in zip(ga, gb):
+        assert np.allclose(np.asarray(x), np.asarray(y), atol=1e-5)
+
+
+def test_crop_resize_separable_matches_roi_align():
+    # the MXU matmul crop must reproduce vmap(roi_align) on mask planes
+    # exactly — incl. boxes exiting the plane (per-axis tap zeroing)
+    from cvpytorch_tpu.ops.roi_align import crop_resize_separable
+
+    rs = np.random.RandomState(7)
+    N, H = 12, 40
+    planes = jnp.asarray(rs.rand(N, H, H).astype(np.float32))
+    xy = rs.rand(N, 2) * 50 - 10
+    wh = rs.rand(N, 2) * 45 + 2
+    boxes = jnp.asarray(np.concatenate([xy, xy + wh], -1).astype(np.float32))
+    got = crop_resize_separable(planes, boxes, output_size=8)
+    want = jax.vmap(
+        lambda m, b: roi_align(m[..., None], b[None], output_size=8)[0]
+    )(planes, boxes)[..., 0]
+    assert np.allclose(np.asarray(got), np.asarray(want), atol=1e-5), \
+        np.abs(np.asarray(got) - np.asarray(want)).max()
+
+
 def test_maskrcnn_contract(rng):
     model = MaskRCNN(
         dictionary=({"a": 1}, {"b": 1}),
