@@ -122,6 +122,37 @@ def test_loss_gradients_flow():
     assert gnorm > 0 and np.isfinite(gnorm)
 
 
+def test_obj_slice_matmul_exact(monkeypatch):
+    """CVT_OBJ_SLICE=matmul (PERF.md r5 A/B hook) is numerically exact.
+
+    The one-hot selection matmul sums exactly one nonzero product per
+    output lane, so loss AND gradients must match the strided-slice
+    baseline bit-for-bit in f32.
+    """
+    loss = YOLOv5Loss(num_classes=4, anchors=DEFAULT_ANCHORS)
+    targets = {
+        "boxes": jnp.array([[[0.5, 0.5, 0.25, 0.25]]]),
+        "labels": jnp.array([[2]]),
+        "valid": jnp.ones((1, 1), bool),
+    }
+    rng = np.random.RandomState(0)
+    raws = [jnp.asarray(rng.randn(1, s, s, 3, 9).astype(np.float32))
+            for s in (8, 4, 2)]
+
+    def total_and_grads(rs):
+        t, _ = loss(rs, targets)
+        g = jax.grad(lambda r: loss(r, targets)[0])(rs)
+        return float(t), g
+
+    monkeypatch.delenv("CVT_OBJ_SLICE", raising=False)
+    t0, g0 = total_and_grads(raws)
+    monkeypatch.setenv("CVT_OBJ_SLICE", "matmul")
+    t1, g1 = total_and_grads(raws)
+    assert np.isclose(t0, t1, rtol=0, atol=1e-6)
+    for a, b in zip(g0, g1):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
 def test_yolov5_model_contract(rng):
     model = YOLOv5(dictionary=({"a": 1}, {"b": 1}, {"c": 1}, {"d": 1}),
                    model_cfg=_model_cfg())
