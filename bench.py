@@ -17,8 +17,23 @@ PYTORCH_BASELINE_IPS = 95.0  # YOLOv5-s 640 fp16 train, single V100 anchor
 
 
 def main():
+    import os
+
     import jax
     import jax.numpy as jnp
+
+    # Headline measures the AMP recipe (PERF.md r5 ledger, both gates
+    # A/B'd same-session on-chip: 147.2 → 129.0 ms/step, 869 → 992 img/s):
+    # - bf16 BN batch-moment reductions (train-mode only; running stats +
+    #   eval normalize stay f32). Convergence-proven at this exact config
+    #   on the real chip — flagship 640² mAP 0.2024 under the gate vs
+    #   0.186 f32, same budget.
+    # - obj-lane one-hot selection matmul (Precision.HIGHEST) in the
+    #   YOLOv5 loss — exactness-tested vs the strided slice.
+    # Override with CVT_BN_BF16_STATS=0 / CVT_OBJ_SLICE=slice for the
+    # fidelity-grade default path.
+    os.environ.setdefault("CVT_BN_BF16_STATS", "1")
+    os.environ.setdefault("CVT_OBJ_SLICE", "matmul")
 
     from cvpytorch_tpu.config import CommonConfiguration
     from cvpytorch_tpu.models.yolov5 import YOLOv5
@@ -135,6 +150,11 @@ def main():
         "decode+NMS compute — compare THAT across rounds, the floor "
         "moves with relay load",
         "batch_size": B,
+        # train-mode bf16 BN-moment reductions (AMP_BN_BF16_STATS knob)
+        # + obj-lane selection matmul; accuracy-proven config, see
+        # PERF.md r5 ledger
+        "amp_bn_bf16_stats": os.environ.get("CVT_BN_BF16_STATS") == "1",
+        "obj_slice_matmul": os.environ.get("CVT_OBJ_SLICE") == "matmul",
     }
     if on_tpu:
         try:

@@ -156,10 +156,16 @@ class YOLOv5Loss:
                 # output sums exactly one nonzero product), and its bwd is
                 # a dense matmul in the conv's live 255-lane layout instead
                 # of a strided pad that disagrees with the gather scatter.
+                # Precision.HIGHEST: the MXU's default bf16 input rounding
+                # is visible on the f32 obj lane (measured: per-step loss
+                # drifts vs the slice form); the 3-pass f32 emulation costs
+                # nothing here — the (B,S,255)x(255,3) selection is
+                # bandwidth-bound on reading pk, which is unchanged.
                 sel = jnp.zeros((A * no, A), pi.dtype).at[
                     jnp.arange(A) * no + 4, jnp.arange(A)].set(1.0)
-                obj_logits = jnp.einsum("bsk,ka->bsa", pk, sel).reshape(
-                    B, S * A)
+                obj_logits = jnp.einsum(
+                    "bsk,ka->bsa", pk, sel,
+                    precision=jax.lax.Precision.HIGHEST).reshape(B, S * A)
             else:
                 obj_logits = pk[..., 4::no].reshape(B, S * A)
             score = jax.lax.stop_gradient(jnp.clip(iou, 0.0)) * w

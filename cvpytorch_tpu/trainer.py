@@ -55,6 +55,17 @@ from .data import datasets as _datasets  # noqa: F401
 class Trainer:
     def __init__(self, cfg: CommonConfiguration):
         self.cfg = cfg
+        # AMP_BN_BF16_STATS: True drops the f32 up-convert on the BN
+        # batch-moment reductions (train mode only; running stats and
+        # normalize stay f32).  ~22 ms of convert_reduce fusions in the
+        # flagship 640 step → 861→940 img/s measured (PERF.md r5 ledger,
+        # with a flagship-640 convergence proof).  Opt-in: moments lose
+        # ~2 decimal digits, so fidelity-grade parity keeps f32 default.
+        import os
+        if cfg.AMP_BN_BF16_STATS:
+            os.environ["CVT_BN_BF16_STATS"] = "1"
+        else:  # don't leak a previous Trainer's setting across instances
+            os.environ.pop("CVT_BN_BF16_STATS", None)
         pmesh.initialize_distributed()
         self.rank0 = pmesh.is_main_process()
         self.logger = setup_logger(rank=0 if self.rank0 else 1)
